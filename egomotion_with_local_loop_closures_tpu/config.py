@@ -1,0 +1,153 @@
+"""Typed configuration for the ELLC-TPU pipeline.
+
+Replaces the reference's three-tier flag system (compile-time constants in
+``src/ExternVariable.h:36-229``, mutable globals in ``src/main.cpp:34-60``
+flipped by ``src/ToggleFlags.h``, and the 3-integer ``config.txt``) with one
+frozen dataclass.  The dataclass is hashable, so it can be passed as a
+static argument to ``jax.jit``-compiled functions; all numeric values keep
+the reference defaults so a run is comparable to the reference pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ELLCConfig:
+    """All tunables of the ELLC pipeline.
+
+    Field-by-field provenance is given against
+    ``/root/reference/src/ExternVariable.h`` (``EV``).
+    """
+
+    # --- image geometry (EV:39-59) -------------------------------------
+    rows: int = 270                  # EV:51  ORIG_ROWS  (1080/4)
+    cols: int = 480                  # EV:50  ORIG_COLS  (1920/4)
+    fx: float = 1642.405612 / 4.0    # EV:53  ORIG_FX
+    fy: float = 1636.148027 / 4.0    # EV:54  ORIG_FY
+    cx: float = 480 / 2.0            # EV:58  ORIG_CX = cols/2
+    cy: float = 270 / 2.0            # EV:59  ORIG_CY = rows/2
+    num_levels: int = 4              # EV:40  MAX_PYRAMID_LEVEL
+
+    # --- undistortion (EV:61-62) ---------------------------------------
+    do_undistortion: bool = False    # EV:61 (default true in ref; our
+                                     # synthetic data is pinhole-perfect)
+    distortion: Tuple[float, float, float, float, float] = (
+        -0.288283, 0.146546, 0.003800, -0.001690, -0.132134)  # EV:62
+
+    # --- keyframing ------------------------------------------------------
+    keyframe_interval: int = 8       # EV:39  KEYFRAME_PROPAGATE_INTERVAL
+
+    # --- Gauss-Newton tracking (EV:76-79,148-149; main.cpp:34) ----------
+    max_iters: Tuple[int, int, int, int] = (4, 7, 9, 12)
+    # index 0 = finest level.  Replay-mode iters (ToggleFlags.h:34-38):
+    max_iters_replay: Tuple[int, int, int, int] = (5, 1, 1, 1)
+    termination_weights: Tuple[float, ...] = (
+        1e5, 1e5, 1e5, 1e4, 1e4, 1e4)  # EV:76 util::weight
+    huber_d: float = 3.0             # EV:149 HUBER_D
+    camera_pixel_noise_2: float = 16.0  # EV:148 CAMERA_PIXEL_NOISE_2
+
+    # --- depth-map random init (EV:81-88) -------------------------------
+    min_abs_grad_create: float = 1.0     # EV:81
+    min_abs_grad_decrease: float = 5.0   # EV:82
+    min_blacklist: int = -1              # EV:83
+    var_random_init: float = 0.125       # EV:88 VAR_RANDOM_INIT_INITIAL
+
+    # --- epipolar line selection (EV:92-94) -----------------------------
+    min_epl_grad_squared: float = 4.0    # EV:92 (2^2)
+    min_epl_length_squared: float = 1.0  # EV:93
+    min_epl_angle_squared: float = 0.09  # EV:94 (0.3^2)
+
+    # --- line stereo (EV:98-117) ----------------------------------------
+    min_depth: float = 0.05              # EV:98
+    max_epl_length_crop: float = 30.0    # EV:101
+    min_epl_length_crop: float = 3.0     # EV:102
+    gradient_sample_dist: float = 1.0    # EV:105
+    sample_point_to_border: float = 7.0  # EV:108
+    max_error_stereo: float = 1300.0     # EV:111
+    min_distance_error_stereo: float = 1.5  # EV:112
+    stereo_epl_var_fac: float = 2.0      # EV:115
+    division_eps: float = 1e-10          # EV:117
+    # Fixed trip count for the vectorized epipolar walk.  The reference
+    # walks a data-dependent number of steps bounded by MAX_EPL_LENGTH_CROP
+    # plus one-sample extensions on both ends (DepthPropagation.cpp:479-505
+    # and :628); 34 covers 30 + 2 + padding at GRADIENT_SAMPLE_DIST=1.
+    stereo_max_steps: int = 36
+
+    # --- depth filter / EKF (EV:120-143) --------------------------------
+    camera_pixel_noise: float = 16.0     # EV:120 (4*4)
+    validity_counter_initial_observe: float = 5.0  # EV:122
+    succ_var_inc_fac: float = 1.01       # EV:124
+    fail_var_inc_fac: float = 1.1        # EV:125
+    max_var: float = 0.25                # EV:126 (0.5^2)
+    diff_fac_observe: float = 1.0        # EV:130
+    diff_fac_prop_merge: float = 1.0     # EV:131
+    validity_counter_max: float = 5.0    # EV:133
+    validity_counter_max_variable: float = 250.0  # EV:134
+    validity_counter_dec: float = 5.0    # EV:135
+    validity_counter_inc: float = 5.0    # EV:136
+    max_diff_constant: float = 1600.0    # EV:85 (40^2)
+    max_diff_grad_mult: float = 0.25     # EV:86 (0.5^2)
+    val_sum_min_for_create: float = 30.0     # EV:141
+    val_sum_min_for_unblacklist: float = 100.0  # EV:142
+    val_sum_min_for_keep: float = 24.0       # EV:143
+    reg_dist_var: float = 0.075 * 0.075      # EV:145
+    diff_fac_smoothing: float = 1.0          # EV:146
+
+    # --- active-region borders (EV:156-159) -----------------------------
+    border: int = 3                      # EV:156-159 YMIN/XMIN = 3
+
+    # --- loop closure (EV:161-171) --------------------------------------
+    loop_window: int = 20                # EV:161 MAX_LOOP_ARRAY_LENGTH
+    loop_array_size: int = 43            # EV:162 (20*2)+3
+    match_threshold: float = 0.1         # EV:163 KL-divergence gate
+    min_match_difference: int = 8        # EV:164 (= keyframe_interval)
+    max_rel_view_angle: float = 10.0     # EV:165 degrees
+    min_seeds_for_connection_lost: float = 0.0  # EV:171
+    histogram_bins: int = 256            # GlobalOptimize.cpp:23-25
+
+    # --- rotation averaging (matlab_scripts) ----------------------------
+    ra_batch_size: int = 4               # small_batch_rotavg.m:26
+    ra_batch_size_bootstrap: int = 10    # small_batch_rotavg_bootstrap.m:27
+    ra_sigma_deg: float = 5.0            # RobustMeanSO3Graph.m (SIGMA)
+    ra_irls_max_iters: int = 100         # RobustMeanSO3Graph.m
+    ra_irls_tol: float = 1e-3            # RobustMeanSO3Graph.m
+    ra_l1_max_iters: int = 10            # AverageSO3Graph.m:57
+
+    # --- runtime ---------------------------------------------------------
+    max_frames: int = 32500              # main.cpp:174-175
+    dtype: str = "float32"
+
+    # ------------------------------------------------------------------
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.rows, self.cols)
+
+    def level_shape(self, level: int) -> Tuple[int, int]:
+        """Pyramid shape at ``level`` (floor division, Frame.cpp:287-293)."""
+        return (self.rows >> level, self.cols >> level)
+
+    def level_intrinsics(self, level: int) -> Tuple[float, float, float, float]:
+        """Per-level (fx, fy, cx, cy); mirrors UserDefinedFunc.cpp:33-49."""
+        s = float(2 ** level)
+        return (self.fx / s, self.fy / s, self.cx / s, self.cy / s)
+
+    def replace(self, **kw) -> "ELLCConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = ELLCConfig()
+
+# A small configuration for fast tests: quarter-size images with intrinsics
+# scaled to match, everything else at reference defaults.
+TEST_CONFIG = ELLCConfig(
+    rows=96,
+    cols=128,
+    fx=120.0,
+    fy=120.0,
+    cx=64.0,
+    cy=48.0,
+    stereo_max_steps=36,
+)

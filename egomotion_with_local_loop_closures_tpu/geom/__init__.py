@@ -1,0 +1,3 @@
+from egomotion_with_local_loop_closures_tpu.geom import camera, lie
+
+__all__ = ["lie", "camera"]
