@@ -1,0 +1,210 @@
+"""Multi-scale Gauss-Newton direct image alignment (the tracking core).
+
+TPU-native rewrite of the reference's pose estimator
+(``src/PixelWisePyramid.cpp:58-491``, orchestrated by
+``src/ImageFunc.cpp:49-315``).  The reference stripes image rows over 3
+boost threads, each accumulating a partial 6x6 Hessian and 6-vector that
+are summed at join; here the whole image is one dense masked computation
+— warp, residual, Huber/variance weights, and the J^T W J / J^T W r
+reductions are fused einsums the TPU executes in a single pass.  The
+per-level iteration loop is a ``lax.scan`` with a freeze mask replicating
+the reference's ``weightedPose < 1`` early-out (ImageFunc.cpp:251-252);
+the coarse-to-fine level loop is unrolled (4 levels, distinct shapes).
+
+Numerics follow the reference exactly:
+- Jacobian evaluated at the *template* pixel with gradients sampled from
+  the current image at the warped point (PixelWisePyramid.cpp:289-320).
+- Residual = warped(current) - keyframe, hence the negated step
+  (PixelWisePyramid.cpp:466-467).
+- Weight = Huber(delta=3 on the sqrt(w_p)-normalized residual) x
+  1/(CAMERA_PIXEL_NOISE_2 + sigma_d^2 (dr/dd)^2)
+  (PixelWisePyramid.cpp:341-358).
+- Pose update: xi <- log(exp(-H^-1 g) exp(xi)) (left-compose,
+  PixelWisePyramid.cpp:460-491); termination metric sum|delta * w_term|
+  with w_term = util::weight (ExternVariable.h:76).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from egomotion_with_local_loop_closures_tpu.config import ELLCConfig
+from egomotion_with_local_loop_closures_tpu.geom import camera, lie
+from egomotion_with_local_loop_closures_tpu.image import interp, pyramid
+
+
+class KeyframeLevel(NamedTuple):
+    """Per-level keyframe data consumed by the aligner."""
+    image: jnp.ndarray   # (H, W) float32, 0..255
+    depth: jnp.ndarray   # (H, W) depth, 0 where invalid
+    var: jnp.ndarray     # (H, W) inverse-depth variance, -1 where invalid
+
+
+class CurrentLevel(NamedTuple):
+    """Per-level current-frame data: image + its gradients."""
+    image: jnp.ndarray
+    gradx: jnp.ndarray
+    grady: jnp.ndarray
+
+
+class AlignDiagnostics(NamedTuple):
+    weighted_pose: jnp.ndarray   # termination metric after the last iter
+    iters_used: jnp.ndarray      # per level, number of applied updates
+    final_energy: jnp.ndarray    # sum of weighted squared residuals (finest)
+    valid_fraction: jnp.ndarray  # fraction of template pixels used (finest)
+
+
+def make_keyframe_levels(image: jnp.ndarray, depth0: jnp.ndarray,
+                         var0: jnp.ndarray, cfg: ELLCConfig
+                         ) -> Tuple[KeyframeLevel, ...]:
+    """Build the full keyframe pyramid: Gaussian image pyramid plus the
+    inverse-variance-fused depth/var pyramid (DepthPropagation.cpp:1637-1719)."""
+    from egomotion_with_local_loop_closures_tpu.depth import fusion
+
+    imgs = pyramid.build_pyramid(image, cfg.num_levels)
+    depths, vars_ = fusion.build_depth_var_pyramid(depth0, var0, cfg.num_levels)
+    return tuple(KeyframeLevel(i, d, v)
+                 for i, d, v in zip(imgs, depths, vars_))
+
+
+def make_current_levels(images: Sequence[jnp.ndarray]) -> Tuple[CurrentLevel, ...]:
+    """Gradients per pyramid level (frame::updationOnPyrChange,
+    Frame.cpp:316-327 recomputes them per level)."""
+    out = []
+    for img in images:
+        gx, gy = pyramid.gradients(img)
+        out.append(CurrentLevel(img, gx, gy))
+    return tuple(out)
+
+
+def _gn_quantities(kf: KeyframeLevel, cur: CurrentLevel, pose: jnp.ndarray,
+                   intr: Tuple[float, float, float, float],
+                   cfg: ELLCConfig):
+    """One linearization: returns (H 6x6, g 6, energy, valid_count)."""
+    fx, fy, cx, cy = intr
+    Hh, Ww = kf.image.shape
+    x, y = camera.pixel_grid(Hh, Ww, dtype=kf.image.dtype)
+
+    mask = kf.depth > 0.0
+
+    T = lie.exp_se3(pose)
+    P = camera.backproject(x, y, kf.depth, fx, fy, cx, cy)
+    Pt = jnp.einsum("ij,hwj->hwi", T[:3, :3], P) + T[:3, 3]
+    wx, wy, wz = camera.project(Pt, fx, fy, cx, cy, eps=1e-10)
+
+    warped, in_bounds = interp.bilinear(cur.image, wx, wy)
+    gradx = interp.bilinear_fill(cur.gradx, wx, wy)
+    grady = interp.bilinear_fill(cur.grady, wx, wy)
+
+    # steepest descent rows (PixelWisePyramid.cpp:296-320), evaluated at
+    # the template pixel (u, v) = (x-cx, y-cy) and template depth d
+    u = x - cx
+    v = y - cy
+    d = jnp.where(mask, kf.depth, 1.0)   # guarded; masked out below
+    inv_d = 1.0 / d
+    sd0 = gradx * (-(v * u) / fy) + grady * (-(fy + (v * v) / fy))
+    sd1 = gradx * (fx + (u * u) / fx) + grady * ((v * u) / fx)
+    sd2 = gradx * (-(fx * v) / fy) + grady * ((fy * u) / fx)
+    sd3 = gradx * (fx * inv_d)
+    sd4 = grady * (fy * inv_d)
+    sd5 = gradx * (-u * inv_d) + grady * (-v * inv_d)
+    J = jnp.stack([sd0, sd1, sd2, sd3, sd4, sd5], axis=-1)  # (H, W, 6)
+
+    residual = jnp.where(in_bounds, warped - kf.image, 0.0)
+
+    # variance-propagated weights (PixelWisePyramid.cpp:341-358)
+    px, py, pz = Pt[..., 0], Pt[..., 1], Pt[..., 2]
+    tx, ty, tz = T[0, 3], T[1, 3], T[2, 3]
+    gxs = fx * gradx
+    gys = fy * grady
+    pz2d = jnp.where(mask, pz * pz * inv_d, 1.0)
+    g0 = (tx * pz - tz * px) / pz2d
+    g1 = (ty * pz - tz * py) / pz2d
+    drpdd = gxs * g0 + gys * g1
+    s = jnp.maximum(kf.var, 0.0)
+    w_p = 1.0 / (cfg.camera_pixel_noise_2 + s * drpdd * drpdd)
+    weighted_rp = jnp.abs(residual * jnp.sqrt(w_p))
+    half_huber = cfg.huber_d / 2.0
+    wh = jnp.where(weighted_rp < half_huber, 1.0,
+                   half_huber / jnp.maximum(weighted_rp, 1e-12))
+    weight = jnp.where(mask & in_bounds, wh * w_p, 0.0)
+
+    Hmat = jnp.einsum("hwi,hwj,hw->ij", J, J, weight)
+    g = jnp.einsum("hwi,hw->i", J, residual * weight)
+    energy = jnp.sum(weight * residual * residual)
+    valid = jnp.sum((mask & in_bounds).astype(jnp.float32))
+    return Hmat, g, energy, valid
+
+
+def gn_level(kf: KeyframeLevel, cur: CurrentLevel, pose0: jnp.ndarray,
+             level: int, cfg: ELLCConfig, num_iters: int):
+    """Run ``num_iters`` GN updates at one level with the reference's
+    early-out-as-freeze-mask.  Returns (pose, weighted_pose, iters_used)."""
+    intr = cfg.level_intrinsics(level)
+    term_w = jnp.asarray(cfg.termination_weights, dtype=pose0.dtype)
+
+    def body(carry, _):
+        pose, done, wp_last, iters = carry
+        Hmat, g, _, _ = _gn_quantities(kf, cur, pose, intr, cfg)
+        delta = -jnp.linalg.solve(
+            Hmat + 1e-12 * jnp.eye(6, dtype=Hmat.dtype), g)
+        ok = jnp.all(jnp.isfinite(delta))
+        delta = jnp.where(ok, delta, 0.0)
+        new_pose = lie.compose(delta, pose)
+        wp = jnp.sum(jnp.abs(delta * term_w))
+        # freeze once converged (ImageFunc.cpp:251-252) or on solver failure
+        pose = jnp.where(done, pose, new_pose)
+        wp_last = jnp.where(done, wp_last, wp)
+        iters = iters + jnp.where(done, 0, 1)
+        done = done | (wp < 1.0) | (~ok)
+        return (pose, done, wp_last, iters), None
+
+    init = (pose0, jnp.asarray(False), jnp.asarray(jnp.inf, pose0.dtype),
+            jnp.asarray(0, jnp.int32))
+    (pose, _, wp, iters), _ = jax.lax.scan(body, init, None, length=num_iters)
+    return pose, wp, iters
+
+
+def align(kf_levels: Tuple[KeyframeLevel, ...],
+          cur_levels: Tuple[CurrentLevel, ...],
+          pose0: jnp.ndarray,
+          cfg: ELLCConfig,
+          max_iters: Tuple[int, ...] | None = None
+          ) -> Tuple[jnp.ndarray, AlignDiagnostics]:
+    """Coarse-to-fine alignment of the current frame against the keyframe.
+
+    ``pose0`` is the initial guess of the current frame w.r.t. the keyframe
+    (se(3) twist); returns the refined pose and diagnostics.  Mirrors the
+    pyramid loop of GetImagePoseEstimate (ImageFunc.cpp:150-299).
+    """
+    if max_iters is None:
+        max_iters = cfg.max_iters
+    pose = pose0
+    wps = []
+    iters_used = []
+    for level in range(cfg.num_levels - 1, -1, -1):
+        pose, wp, it = gn_level(kf_levels[level], cur_levels[level], pose,
+                                level, cfg, int(max_iters[level]))
+        wps.append(wp)
+        iters_used.append(it)
+    H0, g0, energy, valid = _gn_quantities(
+        kf_levels[0], cur_levels[0], pose, cfg.level_intrinsics(0), cfg)
+    del H0, g0
+    total = kf_levels[0].image.size
+    diag = AlignDiagnostics(
+        weighted_pose=wps[-1],
+        iters_used=jnp.stack(iters_used[::-1]),
+        final_energy=energy,
+        valid_fraction=valid / total,
+    )
+    return pose, diag
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_iters"))
+def align_jit(kf_levels, cur_levels, pose0, cfg: ELLCConfig,
+              max_iters: Tuple[int, ...] | None = None):
+    return align(kf_levels, cur_levels, pose0, cfg, max_iters)
