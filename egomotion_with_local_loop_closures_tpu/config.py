@@ -90,6 +90,13 @@ class ELLCConfig:
     validity_counter_inc: float = 5.0    # EV:136
     max_diff_constant: float = 1600.0    # EV:85 (40^2)
     max_diff_grad_mult: float = 0.25     # EV:86 (0.5^2)
+    # The reference's fillDepthHoles validity score is a per-ROW prefix-sum
+    # difference, not a 5x5 box sum: buildValIntegralBuffer
+    # (DepthPropagation.cpp:1414-1429) resets its accumulator every row,
+    # dropping the column pass LSD-SLAM's buildRegIntegralBuffer performs.
+    # False (default) replicates the reference; True restores the
+    # LSD-SLAM-correct 2D box sum.
+    lsd_correct_hole_fill: bool = False
     val_sum_min_for_create: float = 30.0     # EV:141
     val_sum_min_for_unblacklist: float = 100.0  # EV:142
     val_sum_min_for_keep: float = 24.0       # EV:143

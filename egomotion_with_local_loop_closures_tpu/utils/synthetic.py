@@ -71,11 +71,20 @@ def make_room_scene(seed: int = 0, num_harmonics: int = 24,
         u /= np.linalg.norm(u)
         tangent_u[k] = u
         tangent_v[k] = np.cross(n, u)
-    freq = rng.uniform(0.8, 14.0, size=(K, num_harmonics, 2)).astype(np.float32)
-    freq *= rng.choice([-1.0, 1.0], size=(K, num_harmonics, 2)).astype(np.float32)
+    # Natural-image-like 1/f spectrum: frequency magnitudes log-uniform in
+    # [1.5, 55] rad/world-unit with amplitude ~ f^-0.6.  The low-frequency
+    # energy keeps the coarse-to-fine tracker's convergence basin wide,
+    # while the high-frequency tail produces per-pixel gradients of tens
+    # of intensity levels so the depth filter's MIN_ABS_GRAD_* gates
+    # behave as on real video.  (At depth ~1-3 and fx ~100-400 the
+    # world-to-pixel scale is ~depth/fx world-units per pixel.)
+    fmag = np.exp(rng.uniform(np.log(1.5), np.log(55.0),
+                              size=(K, num_harmonics))).astype(np.float32)
+    ang = rng.uniform(0, 2 * np.pi, size=(K, num_harmonics)).astype(np.float32)
+    freq = np.stack([fmag * np.cos(ang), fmag * np.sin(ang)], axis=-1)
     phase = rng.uniform(0, 2 * np.pi, size=(K, num_harmonics)).astype(np.float32)
-    amp = (rng.uniform(6.0, 22.0, size=(K, num_harmonics)).astype(np.float32)
-           / np.sqrt(num_harmonics / 8.0))
+    amp = (160.0 * fmag ** -0.6
+           / np.sqrt(num_harmonics / 8.0)).astype(np.float32)
     mean = np.full((K,), 120.0, np.float32)
     return PlaneScene(jnp.asarray(normals), jnp.asarray(offsets),
                       jnp.asarray(freq), jnp.asarray(phase), jnp.asarray(amp),
