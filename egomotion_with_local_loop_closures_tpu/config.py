@@ -126,6 +126,12 @@ class ELLCConfig:
     # --- runtime ---------------------------------------------------------
     max_frames: int = 32500              # main.cpp:174-175
     dtype: str = "float32"
+    # Loop-closure mode: accumulate per-keyframe average GN weights during
+    # tracking (saveWeights/finaliseWeights, PixelWisePyramid.cpp:544-551,
+    # Frame.cpp:678-695) for constant-weight rematch alignment, and emit
+    # pose-graph edges.  Mirrors FLAG_DO_LOOP_CLOSURE +
+    # FLAG_DO_CONST_WEIGHT_POSE_ESTIMATION (ToggleFlags.h:53-60).
+    do_loop_closure: bool = False
 
     # ------------------------------------------------------------------
     @property

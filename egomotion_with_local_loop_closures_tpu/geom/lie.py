@@ -28,6 +28,13 @@ import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8
+# Small-angle threshold on theta^2 for the sinc-family Taylor branches.
+# In float32, 1 - cos(theta) cancels catastrophically for theta up to
+# ~3e-3 (cos(1.3e-4) == 1.0 exactly), which turned B = (1-cos t)/t^2
+# into 0 and poisoned log_se3's V^-1 with inf.  At theta^2 = 1e-4
+# (theta = 0.01 rad) the 2-term Taylor series are accurate to ~1e-10
+# relative — far better than the direct formulas there.
+_THETA2_SMALL = 1e-4
 
 
 def hat_so3(w: jnp.ndarray) -> jnp.ndarray:
@@ -56,7 +63,7 @@ def _sinc_coeffs(theta2: jnp.ndarray):
     expressions stay exact to float32 precision and differentiable at 0.
     """
     theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
-    small = theta2 < _EPS
+    small = theta2 < _THETA2_SMALL
     # guard the divisions
     t2s = jnp.where(small, 1.0, theta2)
     ts = jnp.sqrt(t2s)
@@ -117,7 +124,7 @@ def log_se3(T: jnp.ndarray) -> jnp.ndarray:
     w = log_so3(R)
     theta2 = jnp.sum(w * w, axis=-1)
     A, B, _ = _sinc_coeffs(theta2)
-    small = theta2 < _EPS
+    small = theta2 < _THETA2_SMALL
     t2s = jnp.where(small, 1.0, theta2)
     # (1/theta^2) * (1 - A / (2B)); Taylor: 1/12 + theta^2/720 + ...
     D = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0, (1.0 - A / (2.0 * B)) / t2s)
@@ -162,24 +169,48 @@ def inverse(xi: jnp.ndarray) -> jnp.ndarray:
 
 
 def quat_from_matrix(R: jnp.ndarray) -> jnp.ndarray:
-    """Rotation matrix -> unit quaternion (..., 4), scalar-first, w >= 0.
+    """Rotation matrix -> unit quaternion (..., 4), scalar-first.
 
-    Branch-free Shepperd-style construction stable for all rotations.
+    Full Shepperd pivot construction: the vector part comes from
+    off-diagonal *differences* divided by the largest quaternion
+    component, never from square roots of cancelling diagonal sums.
+    (A naive all-sqrt construction quantizes small rotations to
+    ~sqrt(eps_f32)/2 = 1.7e-4 rad — fatal for frame-to-frame tracking
+    where rotations are ~1e-3 rad.)
     """
     m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
     m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
     m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
     tr = m00 + m11 + m22
-    # four candidate constructions; pick the numerically largest pivot
-    qw = jnp.sqrt(jnp.maximum(0.0, 1.0 + tr)) / 2.0
-    qx = jnp.sqrt(jnp.maximum(0.0, 1.0 + m00 - m11 - m22)) / 2.0
-    qy = jnp.sqrt(jnp.maximum(0.0, 1.0 - m00 + m11 - m22)) / 2.0
-    qz = jnp.sqrt(jnp.maximum(0.0, 1.0 - m00 - m11 + m22)) / 2.0
-    # signs from off-diagonal sums
-    qx = qx * jnp.sign(jnp.where(m21 - m12 == 0, 1.0, m21 - m12))
-    qy = qy * jnp.sign(jnp.where(m02 - m20 == 0, 1.0, m02 - m20))
-    qz = qz * jnp.sign(jnp.where(m10 - m01 == 0, 1.0, m10 - m01))
-    q = jnp.stack([qw, qx, qy, qz], axis=-1)
+
+    def safe_sqrt(a):
+        return jnp.sqrt(jnp.maximum(a, 1e-12))
+
+    # candidate 0: pivot on w
+    S0 = safe_sqrt(1.0 + tr) * 2.0
+    q0 = jnp.stack([S0 / 4.0, (m21 - m12) / S0, (m02 - m20) / S0,
+                    (m10 - m01) / S0], axis=-1)
+    # candidate 1: pivot on x
+    S1 = safe_sqrt(1.0 + m00 - m11 - m22) * 2.0
+    q1 = jnp.stack([(m21 - m12) / S1, S1 / 4.0, (m01 + m10) / S1,
+                    (m02 + m20) / S1], axis=-1)
+    # candidate 2: pivot on y
+    S2 = safe_sqrt(1.0 - m00 + m11 - m22) * 2.0
+    q2 = jnp.stack([(m02 - m20) / S2, (m01 + m10) / S2, S2 / 4.0,
+                    (m12 + m21) / S2], axis=-1)
+    # candidate 3: pivot on z
+    S3 = safe_sqrt(1.0 - m00 - m11 + m22) * 2.0
+    q3 = jnp.stack([(m10 - m01) / S3, (m02 + m20) / S3, (m12 + m21) / S3,
+                    S3 / 4.0], axis=-1)
+
+    # choose the largest pivot (tr preferred when competitive)
+    scores = jnp.stack([tr, m00, m11, m22], axis=-1)
+    case = jnp.argmax(scores, axis=-1)
+    q = jnp.where((case == 0)[..., None], q0,
+                  jnp.where((case == 1)[..., None], q1,
+                            jnp.where((case == 2)[..., None], q2, q3)))
+    # canonical sign (w >= 0) and normalization
+    q = q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
     n = jnp.linalg.norm(q, axis=-1, keepdims=True)
     return q / jnp.maximum(n, _EPS)
 

@@ -1,0 +1,126 @@
+"""Per-batch pose-graph correction: the MATLAB driver logic, in-process.
+
+Replaces ``matlab_scripts/small_batch_rotavg{,_bootstrap}.m`` +
+``perform_rotation_averaging_transition1.m``: assemble keyframe-to-keyframe
+odometry edges and loop-closure edges, run robust rotation averaging over
+the batch, keep the odometry translations, and re-concatenate non-keyframe
+poses onto the averaged keyframe rotations.  The reference crosses a
+process boundary (C++ -> text files -> MATLAB -> text files -> restart);
+here it is one function call on in-memory arrays between tracking batches.
+
+Array formats mirror the reference files so the same code paths also run
+on ``poses_orig.txt``/``matchframes*.txt`` read from disk:
+- pose rows: ``frame_id kf_id wx wy wz vx vy vz ...``
+- edges carry the pose of ``frame_id`` w.r.t. ``kf_id``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from egomotion_with_local_loop_closures_tpu.geom import lie
+from egomotion_with_local_loop_closures_tpu.graph import rotation_averaging as ra
+
+
+def _se3_exp_np(pose6: np.ndarray) -> np.ndarray:
+    return np.asarray(lie.exp_se3(jnp.asarray(pose6, dtype=jnp.float32)))
+
+
+def perform_rotation_averaging(odometry: np.ndarray,
+                               extra: Optional[np.ndarray],
+                               pose_abs: np.ndarray,
+                               transition_id: int,
+                               kf_interval: int = 8,
+                               sigma_deg: float = 5.0) -> np.ndarray:
+    """Port of perform_rotation_averaging_transition1.m.
+
+    Args:
+      odometry: (N, >=8) rows ``frame_id kf_id pose6`` — per-frame odometry
+        edges (matchframes.txt content restricted to the batch).
+      extra: (K, >=8) loop-closure edges or None.
+      pose_abs: (M, >=8) rows ``frame_id transition_id pose6`` — world poses
+        of all batch frames w.r.t. the transition frame, must include the
+        transition frame itself as an identity row.
+      transition_id: the batch's anchor frame id.
+
+    Returns:
+      (M, 7) rows ``frame_id pose6``: corrected poses w.r.t. the transition
+      frame (averaged rotations for keyframes, original translations;
+      non-keyframe poses re-concatenated onto their keyframe).
+    """
+    odometry = np.asarray(odometry, dtype=np.float64)
+    pose_abs = np.asarray(pose_abs, dtype=np.float64)
+
+    # keep only KF->KF odometry edges (id gap >= kf_interval, :23-29)
+    kf_edges = odometry[odometry[:, 0] - odometry[:, 1] >= kf_interval]
+    delim = np.zeros((1, odometry.shape[1]))
+    delim[0, 0] = delim[0, 1] = transition_id
+    parts = [delim, kf_edges]
+    if extra is not None and len(extra):
+        parts.append(np.asarray(extra, dtype=np.float64)[:, :odometry.shape[1]])
+    edges = np.concatenate(parts, axis=0)
+    edges = edges[np.argsort(edges[:, 0], kind="stable")]
+
+    # dense node reindex (:53-62)
+    node_ids = np.unique(np.concatenate([edges[:, 0], edges[:, 1]]))
+    idx_of = {int(f): i for i, f in enumerate(node_ids)}
+    m = len(edges)
+    I = np.zeros((2, m), np.int64)
+    for p in range(m):
+        I[0, p] = idx_of[int(edges[p, 1])]   # from = keyframe
+        I[1, p] = idx_of[int(edges[p, 0])]   # to = frame
+    RR = np.stack([_se3_exp_np(edges[p, 2:8])[:3, :3] for p in range(m)])
+
+    R_avg = ra.average_so3_graph(RR, I, sigma_deg=sigma_deg)
+
+    # averaged log-rotations + ORIGINAL translations of the KF world poses
+    # (:79-82); pose_abs rows for the node frame ids
+    kf_mask = (np.mod(pose_abs[:, 0] - transition_id, kf_interval) == 0)
+    kf_rows = pose_abs[kf_mask]
+    so3 = np.zeros((len(node_ids), 7))
+    for i, f in enumerate(node_ids):
+        w = np.asarray(lie.log_so3(jnp.asarray(R_avg[i], dtype=jnp.float32)))
+        row = kf_rows[kf_rows[:, 0] == f]
+        trans = row[0, 5:8] if len(row) else np.zeros(3)
+        so3[i] = [f, w[0], w[1], w[2], trans[0], trans[1], trans[2]]
+
+    # re-concatenate non-KF poses onto the averaged keyframe poses (:88-98)
+    out = np.zeros((len(pose_abs), 7))
+    # odometry rows indexed by frame id for the non-KF concat (extramatch3)
+    odo_of = {int(r[0]): r for r in odometry}
+    so3_of = {int(r[0]): r for r in so3}
+    last_kf = so3[0]
+    for i, row in enumerate(pose_abs):
+        f = int(row[0])
+        if f in so3_of:
+            last_kf = so3_of[f]
+            out[i] = [f, *last_kf[1:7]]
+        else:
+            rel = odo_of.get(f, None)
+            rel6 = rel[2:8] if rel is not None else row[2:8]
+            lie_pose = np.asarray(lie.compose(
+                jnp.asarray(np.asarray(rel6, np.float32)),
+                jnp.asarray(np.asarray(last_kf[1:7], np.float32))))
+            out[i] = [f, *lie_pose]
+    return out
+
+
+def batch_edges_from_files(poses_local: np.ndarray,
+                           matchframes: np.ndarray,
+                           globalopt: Optional[np.ndarray],
+                           transition_id: int
+                           ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Filter edge files to the current batch (small_batch_rotavg.m:69-79):
+    keep rows whose frame AND keyframe ids are >= the transition frame."""
+    mf = matchframes[(matchframes[:, 0] >= transition_id)
+                     & (matchframes[:, 1] >= transition_id)]
+    go = None
+    if globalopt is not None and len(globalopt):
+        go = globalopt[(globalopt[:, 0] >= transition_id)
+                       & (globalopt[:, 1] >= transition_id)]
+        if not len(go):
+            go = None
+    return mf, go

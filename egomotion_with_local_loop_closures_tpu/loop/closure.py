@@ -1,0 +1,164 @@
+"""Local loop closure: sliding keyframe window, matching, rematch edges.
+
+TPU-native rewrite of ``globalOptimize``
+(``src/GlobalOptimize.cpp``, ``src/LoopFrame.h``).  The reference keeps a
+43-slot circular array of deep-copied keyframes (+ depth maps) and runs
+histogram matching and inverse-compositional re-alignment on one
+background boost thread, joined at the next keyframe push
+(GlobalOptimize.cpp:151-272).  Here the window is a host-side list of
+immutable device pytrees (JAX arrays are persistent — "deep copy" is a
+reference), KL divergences and view angles for the WHOLE window are one
+batched computation, and each accepted match runs the batched
+constant-weight aligner.  The asynchrony disappears: the tracking
+pipeline and the rematch alignment are just two XLA computations the
+scheduler can overlap.
+
+Matching rules (GlobalOptimize.cpp:274-416):
+- candidate window = up to the last MAX_LOOP_ARRAY_LENGTH (=20) pushed
+  keyframes, walked newest -> oldest;
+- frame-id gap > MIN_MATCH_DIFFERENCE (=8);
+- KL(old_hist || cur_hist) <= MATCH_THRESHOLD (=0.1);
+- relative view angle <= MAX_REL_VIEW_ANGLE (=10 deg), computed between
+  the third rotation rows of the two world poses, with the reference's
+  degree conversion 180/3.14 (GlobalOptimize.cpp:432) replicated;
+- a matched frame's pose is re-estimated against the matched keyframe's
+  depth map but then RESTORED — matches only produce graph edges
+  (GlobalOptimize.cpp:589-606).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from egomotion_with_local_loop_closures_tpu.config import ELLCConfig
+from egomotion_with_local_loop_closures_tpu.geom import lie
+from egomotion_with_local_loop_closures_tpu.image import pyramid
+from egomotion_with_local_loop_closures_tpu.loop import histogram
+from egomotion_with_local_loop_closures_tpu.track import alignment
+
+
+class LoopEntry(NamedTuple):
+    """One keyframe snapshot in the window (LoopFrame.h:24-37)."""
+    frame_id: int
+    kf_levels: Tuple[alignment.KeyframeLevel, ...]
+    weight_levels: Tuple[jnp.ndarray, ...]
+    hist: jnp.ndarray            # (256,)
+    world_pose: jnp.ndarray      # (6,)
+    origin_pose: jnp.ndarray     # (6,)
+    rescale: float
+    seeds: float
+
+
+class LoopEdge(NamedTuple):
+    """An extra pose-graph edge written to matchframes_globalopt.txt
+    (GlobalOptimize.cpp:574-582)."""
+    frame_id: int
+    matched_kf_id: int
+    pose_wrt_matched: np.ndarray   # (6,)
+    rescale: float
+    seeds: float
+    match_value: float
+    rms_error: float
+    view_angle: float
+
+
+def view_angle_deg(pose_a: jnp.ndarray, pose_b: jnp.ndarray) -> jnp.ndarray:
+    """Relative view angle between world poses, reference semantics
+    (GlobalOptimize.cpp:419-452, incl. the 180/3.14 conversion)."""
+    va = lie.view_vector(pose_a)
+    vb = lie.view_vector(pose_b)
+    c = jnp.sum(va * vb, axis=-1) / (
+        jnp.linalg.norm(va, axis=-1) * jnp.linalg.norm(vb, axis=-1) + 1e-12)
+    return jnp.arccos(jnp.clip(c, -1.0, 1.0)) * 180.0 / 3.14
+
+
+def rms_rotation_error(pose_a, pose_b) -> float:
+    """The reference's 'rms_error': euclidean distance of the rotation
+    components of the two world twists (GlobalOptimize.cpp:421)."""
+    d = np.asarray(pose_a[:3]) - np.asarray(pose_b[:3])
+    return float(np.sqrt(np.sum(d * d)))
+
+
+@dataclasses.dataclass
+class LoopCloser:
+    """Sliding-window loop-closure detector + rematcher."""
+    cfg: ELLCConfig
+    entries: List[LoopEntry] = dataclasses.field(default_factory=list)
+    edges: List[LoopEdge] = dataclasses.field(default_factory=list)
+
+    def push_keyframe(self, frame_id: int, image: jnp.ndarray,
+                      kf_levels: Tuple[alignment.KeyframeLevel, ...],
+                      weight_levels: Tuple[jnp.ndarray, ...],
+                      world_pose: jnp.ndarray, origin_pose: jnp.ndarray,
+                      rescale: float, seeds: float) -> List[LoopEdge]:
+        """pushToArray + findMatchParallel (GlobalOptimize.cpp:151-272,
+        454-646): snapshot the keyframe, then match it against the window
+        and emit edges for every accepted match."""
+        cfg = self.cfg
+        hist = histogram.image_histogram(image, cfg.histogram_bins)
+        entry = LoopEntry(frame_id=frame_id, kf_levels=kf_levels,
+                          weight_levels=weight_levels, hist=hist,
+                          world_pose=jnp.asarray(world_pose),
+                          origin_pose=jnp.asarray(origin_pose),
+                          rescale=float(rescale), seeds=float(seeds))
+        new_edges = self._find_matches(entry, image)
+        self.entries.append(entry)
+        if len(self.entries) > cfg.loop_window:
+            self.entries.pop(0)
+        self.edges.extend(new_edges)
+        return new_edges
+
+    def _candidates(self, entry: LoopEntry) -> List[int]:
+        """Window indices passing all gates, newest -> oldest."""
+        cfg = self.cfg
+        if not self.entries:
+            return []
+        hists = jnp.stack([e.hist for e in self.entries])
+        # KL(old || current): old histogram is p (GlobalOptimize.cpp:348)
+        kls = np.asarray(histogram.kl_divergence_batched(hists, entry.hist))
+        poses = jnp.stack([e.world_pose for e in self.entries])
+        angles = np.asarray(view_angle_deg(
+            poses, jnp.broadcast_to(entry.world_pose, poses.shape)))
+        out = []
+        for i in range(len(self.entries) - 1, -1, -1):
+            e = self.entries[i]
+            if entry.frame_id - e.frame_id <= cfg.min_match_difference:
+                continue
+            if kls[i] > cfg.match_threshold:
+                continue
+            if angles[i] > cfg.max_rel_view_angle:
+                continue
+            out.append(i)
+        return out
+
+    def _find_matches(self, entry: LoopEntry, image: jnp.ndarray
+                      ) -> List[LoopEdge]:
+        cfg = self.cfg
+        cands = self._candidates(entry)
+        if not cands:
+            return []
+        cur_levels = alignment.make_current_levels(
+            pyramid.build_pyramid(image, cfg.num_levels))
+        edges = []
+        hists = jnp.stack([e.hist for e in self.entries])
+        kls = np.asarray(histogram.kl_divergence_batched(hists, entry.hist))
+        for i in cands:
+            e = self.entries[i]
+            # initial pose: current world relative to the matched KF's
+            # world (ImageFunc.cpp:97-108 with tminus1 = the frame itself)
+            pose0 = lie.relative(entry.world_pose, e.world_pose)
+            pose, _ = alignment.align_const_weight(
+                e.kf_levels, e.weight_levels, cur_levels, pose0, cfg)
+            ang = float(view_angle_deg(e.world_pose, entry.world_pose))
+            edges.append(LoopEdge(
+                frame_id=entry.frame_id, matched_kf_id=e.frame_id,
+                pose_wrt_matched=np.asarray(pose),
+                rescale=e.rescale, seeds=e.seeds,
+                match_value=float(kls[i]),
+                rms_error=rms_rotation_error(entry.world_pose, e.world_pose),
+                view_angle=ang))
+        return edges

@@ -1,0 +1,100 @@
+"""Command-line entry point.
+
+Usage:
+    python -m egomotion_with_local_loop_closures_tpu.runtime.cli \
+        --frames <image_dir> --out <out_dir> [--max-frames N]
+    python -m egomotion_with_local_loop_closures_tpu.runtime.cli \
+        --synthetic N --out <out_dir> [--rows R --cols C]
+
+Replaces invoking the reference binary (``ELLC`` default mode); writes
+``poses_orig.txt`` and ``matchframes.txt`` in the reference formats.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="ELLC-TPU sequence runner")
+    ap.add_argument("--frames", help="directory of image frames")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="render N synthetic frames instead of reading files")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--rows", type=int, default=None)
+    ap.add_argument("--cols", type=int, default=None)
+    ap.add_argument("--fx", type=float, default=None)
+    ap.add_argument("--fy", type=float, default=None)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu)")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from egomotion_with_local_loop_closures_tpu.config import ELLCConfig
+    from egomotion_with_local_loop_closures_tpu.runtime import io as ellc_io
+    from egomotion_with_local_loop_closures_tpu.runtime import runner
+
+    cfg = ELLCConfig()
+    overrides = {}
+    if args.rows:
+        overrides["rows"] = args.rows
+        overrides["cy"] = args.rows / 2.0
+    if args.cols:
+        overrides["cols"] = args.cols
+        overrides["cx"] = args.cols / 2.0
+    if args.fx:
+        overrides["fx"] = args.fx
+    if args.fy:
+        overrides["fy"] = args.fy
+    if overrides:
+        cfg = cfg.replace(**overrides)
+
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.synthetic:
+        import jax.numpy as jnp
+        from egomotion_with_local_loop_closures_tpu.utils import synthetic
+        if not args.rows:
+            cfg = cfg.replace(rows=96, cols=128, fx=110.0, fy=110.0,
+                              cx=64.0, cy=48.0)
+        scene = synthetic.make_room_scene(seed=args.seed, depth=1.25,
+                                          half_width=1.7, half_height=1.15)
+        gt = synthetic.trajectory(args.synthetic, seed=args.seed,
+                                  rot_step=0.0015, trans_step=0.02)
+        fx, fy, cx, cy = cfg.level_intrinsics(0)
+
+        def frames():
+            for p in gt:
+                img, _ = synthetic.render(scene, p, cfg.rows, cfg.cols,
+                                          fx, fy, cx, cy)
+                yield img
+        src = frames()
+        import numpy as np
+        np.savetxt(os.path.join(args.out, "poses_gt.txt"),
+                   np.asarray(gt), fmt="%.9g")
+    elif args.frames:
+        src = ellc_io.image_dir_frames(args.frames)
+    else:
+        ap.error("need --frames or --synthetic")
+
+    t0 = time.time()
+    result = runner.run_sequence(src, cfg, out_dir=args.out,
+                                 max_frames=args.max_frames,
+                                 seed=args.seed)
+    dt = time.time() - t0
+    n = len(result.frame_ids)
+    print(f"tracked {n} frames in {dt:.2f}s ({n / max(dt, 1e-9):.2f} fps)")
+    print(f"outputs written to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,238 @@
+"""ELLC-LC mode: alternating Gauss-Newton tracking and rotation averaging.
+
+In-process replacement for the reference's outer orchestration
+(``bin/ELLC_LC.sh`` + the ``ToggleFlags.h`` batch state machine +
+``matlab_scripts/small_batch_rotavg{,_bootstrap}.m``).  The reference
+alternates by *restarting the C++ binary* with a new ``config.txt``,
+passing state through text files (saved depth mats, ``so3poses7.txt``,
+``World_pose.mat``); here the whole cycle runs in one process with state
+kept in device memory:
+
+  bootstrap: GN-track batch 1 (bootstrap size) with loop closures on,
+             keeping the batch's frames + the transition keyframe's depth
+  repeat:    1. rotation-average the last batch's keyframe rotations using
+                odometry + loop-closure edges (graph.batch)
+             2. replay the batch: re-track from the saved transition depth
+                with RA-corrected rotations as initialization and the
+                replay iteration schedule {5,1,1,1} (ToggleFlags.h:34-38)
+             3. GN-track the next batch with loop closures on
+             4. accumulate corrected world poses (World_pose.mat analog)
+
+Scale handling matches the reference: RA corrects only rotations; the
+odometry translations (in drifting per-keyframe scale) are preserved
+(perform_rotation_averaging_transition1.m:79-82).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egomotion_with_local_loop_closures_tpu.config import ELLCConfig
+from egomotion_with_local_loop_closures_tpu.geom import lie
+from egomotion_with_local_loop_closures_tpu.graph import batch as graph_batch
+from egomotion_with_local_loop_closures_tpu.loop import closure
+from egomotion_with_local_loop_closures_tpu.runtime import io as ellc_io
+from egomotion_with_local_loop_closures_tpu.runtime import pipeline
+
+
+@dataclasses.dataclass
+class BatchRecord:
+    """Everything remembered about one GN batch for RA + replay."""
+    start_frame_id: int                 # transition frame (a keyframe)
+    frames: List[np.ndarray]            # the batch's images, in order
+    pose_rows: List[List[float]]        # frame_id, kf_id, pose6 (world)
+    odometry_rows: List[List[float]]    # frame_id, kf_id, pose6 (wrt KF)
+    loop_rows: List[List[float]]        # loop edges, same layout
+    start_image: jnp.ndarray            # transition KF image
+    start_depth: jnp.ndarray            # its refined depth map
+    start_var: jnp.ndarray
+
+
+@dataclasses.dataclass
+class LCResult:
+    world_poses: np.ndarray             # (N, 6) final corrected world poses
+    frame_ids: np.ndarray
+    raw_world_poses: np.ndarray         # pre-RA (GN-only) world poses
+    num_batches: int
+    num_loop_edges: int
+
+
+def _track_batch(state: pipeline.PipelineState,
+                 frames: List[np.ndarray], start_frame_id: int,
+                 cfg: ELLCConfig, closer: Optional[closure.LoopCloser],
+                 replay: bool = False,
+                 init_rotations: Optional[np.ndarray] = None,
+                 base_world: Optional[np.ndarray] = None
+                 ) -> Tuple[pipeline.PipelineState, BatchRecord]:
+    """Track ``len(frames)`` frames (a whole batch) interval by interval,
+    starting from ``state`` whose keyframe is frame ``start_frame_id``.
+    Returns the new state and the batch record.  ``frames`` excludes the
+    keyframe itself.  ``base_world`` anchors the loop window's poses in
+    the global corrected frame so matches work across batch rebasements.
+    """
+    K = cfg.keyframe_interval
+    assert len(frames) % K == 0
+    if base_world is None:
+        base_world = np.zeros(6, np.float32)
+    from egomotion_with_local_loop_closures_tpu.depth import state as dstate
+    _, depth0, var0 = dstate.to_depth_image(state.depth, cfg)
+    rec = BatchRecord(start_frame_id=start_frame_id, frames=list(frames),
+                      pose_rows=[], odometry_rows=[], loop_rows=[],
+                      start_image=state.kf.images[0],
+                      start_depth=depth0, start_var=var0)
+    kf_id = start_frame_id
+    fid = start_frame_id
+    for b in range(0, len(frames), K):
+        chunk = jnp.asarray(np.stack(frames[b:b + K]))
+        rots = None
+        if init_rotations is not None:
+            rots = jnp.asarray(init_rotations[b:b + K])
+        state, outs, snapshot = pipeline.process_interval(
+            state, chunk, cfg, replay=replay, init_rotations=rots)
+        outs = jax.tree.map(np.asarray, outs)
+        if closer is not None and snapshot is not None:
+            world_global = lie.compose(snapshot.world_pose,
+                                       jnp.asarray(base_world))
+            edges = closer.push_keyframe(
+                kf_id, snapshot.image, snapshot.kf_levels,
+                snapshot.weight_levels, world_global,
+                jnp.zeros(6), float(snapshot.rescale),
+                float(snapshot.seeds))
+            for e in edges:
+                rec.loop_rows.append([e.frame_id, e.matched_kf_id,
+                                      *e.pose_wrt_matched])
+        for j in range(K):
+            fid += 1
+            rec.pose_rows.append([fid, kf_id, *outs.pose_wrt_world[j]])
+            rec.odometry_rows.append([fid, kf_id, *outs.pose_wrt_kf[j]])
+        kf_id = fid
+    return state, rec
+
+
+def _rotation_average_batch(rec: BatchRecord, cfg: ELLCConfig
+                            ) -> np.ndarray:
+    """Run RA over a batch record; returns (M, 7) corrected poses
+    (frame_id, pose6) w.r.t. the batch's transition frame."""
+    tf = rec.start_frame_id
+    pose_abs = np.zeros((1 + len(rec.pose_rows), 8))
+    pose_abs[0] = [tf, tf, 0, 0, 0, 0, 0, 0]
+    for i, row in enumerate(rec.pose_rows):
+        pose_abs[1 + i] = [row[0], tf, *row[2:8]]
+    odometry = np.asarray(rec.odometry_rows, dtype=np.float64)
+    extra = np.asarray(rec.loop_rows, dtype=np.float64) \
+        if rec.loop_rows else None
+    return graph_batch.perform_rotation_averaging(
+        odometry, extra, pose_abs, transition_id=tf,
+        kf_interval=cfg.keyframe_interval, sigma_deg=cfg.ra_sigma_deg)
+
+
+def run_ellc_lc(frames: Iterable[np.ndarray], cfg: ELLCConfig,
+                out_dir: Optional[str] = None, seed: int = 0,
+                max_frames: Optional[int] = None) -> LCResult:
+    """The full alternating pipeline on a frame stream."""
+    cfg = cfg.replace(do_loop_closure=True)
+    it = iter(frames)
+    first = jnp.asarray(np.asarray(next(it)))
+    state = pipeline.init_pipeline(first, jax.random.PRNGKey(seed), cfg)
+    closer = closure.LoopCloser(cfg)
+
+    K = cfg.keyframe_interval
+    limit = max_frames if max_frames is not None else cfg.max_frames
+
+    corrected: List[Tuple[int, np.ndarray]] = []   # World_pose analog
+    raw: List[Tuple[int, np.ndarray]] = []
+    base_world = np.zeros(6, np.float32)   # corrected world pose of the
+    # current transition frame
+    frame_id = 1
+    num_batches = 0
+    batch_no = 0
+    done = False
+
+    while not done and frame_id < limit:
+        batch_props = (cfg.ra_batch_size_bootstrap if batch_no == 0
+                       else cfg.ra_batch_size)
+        want = batch_props * K
+        buf: List[np.ndarray] = []
+        while len(buf) < want and frame_id + len(buf) < limit:
+            try:
+                buf.append(np.asarray(next(it)))
+            except StopIteration:
+                done = True
+                break
+        usable = (len(buf) // K) * K
+        if usable == 0:
+            break
+        extra_frames = buf[usable:]
+        buf = buf[:usable]
+
+        start_id = frame_id
+        state, rec = _track_batch(state, buf, start_id, cfg, closer,
+                                  base_world=base_world)
+        frame_id += len(buf)
+        num_batches += 1
+
+        for row in rec.pose_rows:
+            w = np.asarray(lie.compose(
+                jnp.asarray(np.asarray(row[2:8], np.float32)),
+                jnp.asarray(base_world)))
+            raw.append((int(row[0]), w))
+
+        # --- rotation averaging over this batch ---
+        out = _rotation_average_batch(rec, cfg)
+        # accumulate corrected world poses: rows are w.r.t. the transition
+        # frame; compose onto the corrected base (small_batch_rotavg.m:43-50)
+        for r in out:
+            w = np.asarray(lie.compose(
+                jnp.asarray(np.asarray(r[1:7], np.float32)),
+                jnp.asarray(base_world)))
+            corrected.append((int(r[0]), w))
+
+        # --- replay the batch from the saved transition depth with the
+        # corrected rotations as initialization ---
+        if not done and frame_id < limit:
+            replay_state = pipeline.init_from_depth(
+                rec.start_image, rec.start_depth, rec.start_var,
+                jnp.zeros(6), cfg)
+            init_rots = np.zeros((len(buf), 6), np.float32)
+            by_id = {int(r[0]): r[1:7] for r in out}
+            for i in range(len(buf)):
+                fid = start_id + 1 + i
+                init_rots[i] = by_id.get(fid, np.zeros(6))
+            state, rec_replay = _track_batch(
+                state=replay_state, frames=buf, start_frame_id=start_id,
+                cfg=cfg, closer=None, replay=True,
+                init_rotations=init_rots)
+            # the replayed final state seeds the next batch; the next
+            # batch's poses chain from the corrected end-of-batch pose
+            base_world = corrected[-1][1]
+            # reset relative bookkeeping: new transition frame is the
+            # batch's last keyframe, whose corrected world pose is
+            # base_world; the pipeline state's kf.world_pose is relative
+            # to the replay origin — rebase it to zero
+            state = state._replace(
+                kf=state.kf._replace(world_pose=jnp.zeros(6)))
+
+        batch_no += 1
+        if len(extra_frames):
+            # frames that don't fill an interval at the very end: ignore
+            # (the reference's 32500-frame cap makes the tail negligible)
+            done = True
+
+    if out_dir:
+        with ellc_io.PoseWriter(os.path.join(out_dir, "poses_corrected.txt")) \
+                as w:
+            for fid, p in corrected:
+                w.write(fid, 0, p, 1.0, 0.0)
+
+    ids = np.asarray([f for f, _ in corrected], np.int64)
+    ps = np.asarray([p for _, p in corrected])
+    raw_ps = np.asarray([p for _, p in raw])
+    return LCResult(world_poses=ps, frame_ids=ids, raw_world_poses=raw_ps,
+                    num_batches=num_batches,
+                    num_loop_edges=len(closer.edges))

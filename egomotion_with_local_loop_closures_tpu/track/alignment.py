@@ -83,11 +83,17 @@ def make_current_levels(images: Sequence[jnp.ndarray]) -> Tuple[CurrentLevel, ..
 
 def _gn_quantities(kf: KeyframeLevel, cur: CurrentLevel, pose: jnp.ndarray,
                    intr: Tuple[float, float, float, float],
-                   cfg: ELLCConfig):
-    """One linearization: returns (H 6x6, g 6, energy, valid_count)."""
+                   cfg: ELLCConfig, y_offset=0):
+    """One linearization: returns (H 6x6, g 6, energy, valid_count).
+
+    ``y_offset`` shifts the pixel-grid row coordinates — used when the
+    keyframe template is row-sharded across devices (parallel.sharded):
+    each shard linearizes its rows and the 6x6/6 blocks are psummed.
+    """
     fx, fy, cx, cy = intr
     Hh, Ww = kf.image.shape
     x, y = camera.pixel_grid(Hh, Ww, dtype=kf.image.dtype)
+    y = y + y_offset
 
     mask = kf.depth > 0.0
 
@@ -140,6 +146,131 @@ def _gn_quantities(kf: KeyframeLevel, cur: CurrentLevel, pose: jnp.ndarray,
     return Hmat, g, energy, valid
 
 
+def weight_image(kf: KeyframeLevel, cur: CurrentLevel, pose: jnp.ndarray,
+                 level: int, cfg: ELLCConfig) -> jnp.ndarray:
+    """The per-template-pixel GN weight image at a given pose — what the
+    reference saves at the final iteration of each level for later
+    constant-weight (inverse-compositional) alignment
+    (PixelWisePyramid::saveWeights, PixelWisePyramid.cpp:544-551)."""
+    fx, fy, cx, cy = cfg.level_intrinsics(level)
+    Hh, Ww = kf.image.shape
+    x, y = camera.pixel_grid(Hh, Ww, dtype=kf.image.dtype)
+    mask = kf.depth > 0.0
+    T = lie.exp_se3(pose)
+    P = camera.backproject(x, y, kf.depth, fx, fy, cx, cy)
+    Pt = jnp.einsum("ij,hwj->hwi", T[:3, :3], P) + T[:3, 3]
+    wx, wy, _ = camera.project(Pt, fx, fy, cx, cy)
+    warped, in_bounds = interp.bilinear(cur.image, wx, wy)
+    gradx = interp.bilinear_fill(cur.gradx, wx, wy)
+    grady = interp.bilinear_fill(cur.grady, wx, wy)
+    residual = jnp.where(in_bounds, warped - kf.image, 0.0)
+    px, py, pz = Pt[..., 0], Pt[..., 1], Pt[..., 2]
+    inv_d = 1.0 / jnp.where(mask, kf.depth, 1.0)
+    pz2d = jnp.where(mask, pz * pz * inv_d, 1.0)
+    g0 = (T[0, 3] * pz - T[2, 3] * px) / pz2d
+    g1 = (T[1, 3] * pz - T[2, 3] * py) / pz2d
+    drpdd = fx * gradx * g0 + fy * grady * g1
+    s = jnp.maximum(kf.var, 0.0)
+    w_p = 1.0 / (cfg.camera_pixel_noise_2 + s * drpdd * drpdd)
+    weighted_rp = jnp.abs(residual * jnp.sqrt(w_p))
+    half_huber = cfg.huber_d / 2.0
+    wh = jnp.where(weighted_rp < half_huber, 1.0,
+                   half_huber / jnp.maximum(weighted_rp, 1e-12))
+    return jnp.where(mask & in_bounds, wh * w_p, 0.0)
+
+
+def _template_jacobian(kf: KeyframeLevel, level: int, cfg: ELLCConfig
+                       ) -> jnp.ndarray:
+    """Steepest-descent rows from the TEMPLATE (keyframe) gradients and
+    depth — the inverse-compositional precomputation
+    (PixelWisePyramid::precomputePixelWiseInvCompositional,
+    PixelWisePyramid.cpp:561-680)."""
+    fx, fy, cx, cy = cfg.level_intrinsics(level)
+    Hh, Ww = kf.image.shape
+    x, y = camera.pixel_grid(Hh, Ww, dtype=kf.image.dtype)
+    mask = kf.depth > 0.0
+    gradx, grady = pyramid.gradients(kf.image)
+    u = x - cx
+    v = y - cy
+    inv_d = 1.0 / jnp.where(mask, kf.depth, 1.0)
+    sd0 = gradx * (-(v * u) / fy) + grady * (-(fy + (v * v) / fy))
+    sd1 = gradx * (fx + (u * u) / fx) + grady * ((v * u) / fx)
+    sd2 = gradx * (-(fx * v) / fy) + grady * ((fy * u) / fx)
+    sd3 = gradx * (fx * inv_d)
+    sd4 = grady * (fy * inv_d)
+    sd5 = gradx * (-u * inv_d) + grady * (-v * inv_d)
+    J = jnp.stack([sd0, sd1, sd2, sd3, sd4, sd5], axis=-1)
+    return jnp.where(mask[..., None], J, 0.0)
+
+
+def gn_level_const_weight(kf: KeyframeLevel, weights: jnp.ndarray,
+                          cur: CurrentLevel, pose0: jnp.ndarray,
+                          level: int, cfg: ELLCConfig, num_iters: int):
+    """Inverse-compositional constant-weight GN at one level, used for
+    loop-closure rematches (PixelWisePyramid.cpp:917-974): J and the 6x6
+    Hessian are precomputed from the template with fixed saved weights;
+    each iteration only warps and reduces J^T w r."""
+    intr_unused = cfg.level_intrinsics(level)
+    del intr_unused
+    fx, fy, cx, cy = cfg.level_intrinsics(level)
+    term_w = jnp.asarray(cfg.termination_weights, dtype=pose0.dtype)
+    J = _template_jacobian(kf, level, cfg)
+    Hmat = jnp.einsum("hwi,hwj,hw->ij", J, J, weights)
+    Hinv_ok = jnp.all(jnp.isfinite(Hmat))
+    Hh, Ww = kf.image.shape
+    x, y = camera.pixel_grid(Hh, Ww, dtype=kf.image.dtype)
+    mask = kf.depth > 0.0
+
+    def body(carry, _):
+        pose, done, wp_last, iters = carry
+        T = lie.exp_se3(pose)
+        P = camera.backproject(x, y, kf.depth, fx, fy, cx, cy)
+        Pt = jnp.einsum("ij,hwj->hwi", T[:3, :3], P) + T[:3, 3]
+        wx, wy, _ = camera.project(Pt, fx, fy, cx, cy)
+        warped, in_bounds = interp.bilinear(cur.image, wx, wy)
+        residual = jnp.where(in_bounds & mask, warped - kf.image, 0.0)
+        g = jnp.einsum("hwi,hw->i", J, residual * weights)
+        delta = -jnp.linalg.solve(
+            Hmat + 1e-12 * jnp.eye(6, dtype=Hmat.dtype), g)
+        # see gn_level: zero the update on singular/near-singular systems
+        # (OpenCV inv() semantics, PixelWisePyramid.cpp:939)
+        ok = (jnp.all(jnp.isfinite(delta)) & Hinv_ok
+              & (jnp.max(jnp.abs(delta)) < 1e3))
+        delta = jnp.where(ok, delta, 0.0)
+        new_pose = lie.compose(delta, pose)
+        wp = jnp.sum(jnp.abs(delta * term_w))
+        pose = jnp.where(done, pose, new_pose)
+        wp_last = jnp.where(done, wp_last, wp)
+        iters = iters + jnp.where(done, 0, 1)
+        done = done | (wp < 1.0) | (~ok)
+        return (pose, done, wp_last, iters), None
+
+    init = (pose0, jnp.asarray(False), jnp.asarray(jnp.inf, pose0.dtype),
+            jnp.asarray(0, jnp.int32))
+    (pose, _, wp, iters), _ = jax.lax.scan(body, init, None, length=num_iters)
+    return pose, wp, iters
+
+
+def align_const_weight(kf_levels: Tuple[KeyframeLevel, ...],
+                       weight_levels: Tuple[jnp.ndarray, ...],
+                       cur_levels: Tuple[CurrentLevel, ...],
+                       pose0: jnp.ndarray,
+                       cfg: ELLCConfig,
+                       max_iters: Tuple[int, ...] | None = None
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Coarse-to-fine constant-weight alignment (loop-closure rematch
+    path of GetImagePoseEstimate, ImageFunc.cpp:241-243)."""
+    if max_iters is None:
+        max_iters = cfg.max_iters
+    pose = pose0
+    wp = jnp.asarray(jnp.inf)
+    for level in range(cfg.num_levels - 1, -1, -1):
+        pose, wp, _ = gn_level_const_weight(
+            kf_levels[level], weight_levels[level], cur_levels[level],
+            pose, level, cfg, int(max_iters[level]))
+    return pose, wp
+
+
 def gn_level(kf: KeyframeLevel, cur: CurrentLevel, pose0: jnp.ndarray,
              level: int, cfg: ELLCConfig, num_iters: int):
     """Run ``num_iters`` GN updates at one level with the reference's
@@ -152,7 +283,11 @@ def gn_level(kf: KeyframeLevel, cur: CurrentLevel, pose0: jnp.ndarray,
         Hmat, g, _, _ = _gn_quantities(kf, cur, pose, intr, cfg)
         delta = -jnp.linalg.solve(
             Hmat + 1e-12 * jnp.eye(6, dtype=Hmat.dtype), g)
-        ok = jnp.all(jnp.isfinite(delta))
+        # near-singular systems yield finite-but-astronomical deltas that
+        # overflow exp_se3; OpenCV's Mat::inv() (used by the reference,
+        # PixelWisePyramid.cpp:451) returns a ZERO matrix for singular
+        # input, so the reference degrades to a zero update — replicate
+        ok = jnp.all(jnp.isfinite(delta)) & (jnp.max(jnp.abs(delta)) < 1e3)
         delta = jnp.where(ok, delta, 0.0)
         new_pose = lie.compose(delta, pose)
         wp = jnp.sum(jnp.abs(delta * term_w))

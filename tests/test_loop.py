@@ -1,0 +1,112 @@
+"""Loop-closure tests: histogram/KL semantics, matching gates, and
+end-to-end edge generation on an out-and-back trajectory."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from egomotion_with_local_loop_closures_tpu.config import ELLCConfig
+from egomotion_with_local_loop_closures_tpu.geom import lie
+from egomotion_with_local_loop_closures_tpu.loop import closure, histogram
+from egomotion_with_local_loop_closures_tpu.runtime import runner
+from egomotion_with_local_loop_closures_tpu.utils import synthetic
+
+CFG = ELLCConfig(rows=96, cols=128, fx=110.0, fy=110.0, cx=64.0, cy=48.0,
+                 do_loop_closure=True)
+
+
+def test_histogram_matches_manual():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, size=(32, 40)).astype(np.float32)
+    h = np.asarray(histogram.image_histogram(jnp.asarray(img)))
+    manual, _ = np.histogram(img.astype(np.int32), bins=256, range=(0, 256))
+    np.testing.assert_allclose(h, manual / manual.sum(), atol=1e-7)
+    np.testing.assert_allclose(h.sum(), 1.0, atol=1e-6)
+
+
+def test_kl_divergence_semantics():
+    p = jnp.asarray([0.5, 0.5, 0.0, 0.0])
+    q = jnp.asarray([0.25, 0.25, 0.25, 0.25])
+    # p==0 bins contribute 0
+    want = 2 * 0.5 * np.log(0.5 / 0.25)
+    np.testing.assert_allclose(float(histogram.kl_divergence(p, q)), want,
+                               rtol=1e-6)
+    # q==0 clamped to 1e-10, not inf
+    q2 = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    v = float(histogram.kl_divergence(p, q2))
+    assert np.isfinite(v) and v > 1.0
+    # identical -> 0
+    np.testing.assert_allclose(float(histogram.kl_divergence(q, q)), 0.0,
+                               atol=1e-7)
+
+
+def test_view_angle():
+    a = jnp.zeros(6)
+    b = jnp.asarray([0.2, 0.0, 0.0, 0.0, 0.0, 0.0])   # 0.2 rad about x
+    ang = float(closure.view_angle_deg(a, b))
+    # reference converts with 180/3.14 (GlobalOptimize.cpp:432)
+    np.testing.assert_allclose(ang, 0.2 * 180.0 / 3.14, rtol=1e-4)
+
+
+def _out_and_back_sequence(n=25):
+    """Camera translates away and returns: frames ~17+ revisit frame-1's
+    viewpoint, so keyframe 17 should match keyframe 1 (gap 16 > 8)."""
+    scene = synthetic.make_room_scene(seed=11, depth=1.25, half_width=1.7,
+                                      half_height=1.15)
+    fx, fy, cx, cy = CFG.level_intrinsics(0)
+    ts = []
+    for i in range(n):
+        # triangle wave: out for 8 frames, back for 8, then still
+        k = min(i, 16)
+        mag = (k if k <= 8 else 16 - k) * 0.018
+        ts.append([0.0, 0.0, 0.0, mag, mag * 0.3, 0.0])
+    poses = jnp.asarray(np.asarray(ts, np.float32))
+    imgs = [synthetic.render(scene, p, CFG.rows, CFG.cols, fx, fy, cx, cy)[0]
+            for p in poses]
+    return imgs, poses
+
+
+def test_loop_closure_emits_edges_on_revisit(tmp_path):
+    imgs, gt = _out_and_back_sequence()
+    res = runner.run_sequence(iter([np.asarray(i) for i in imgs]), CFG,
+                              out_dir=str(tmp_path))
+    edges = res.extra["loop_edges"]
+    assert len(edges) >= 1, "revisit produced no loop-closure edges"
+    e = edges[0]
+    assert e.frame_id == 17 and e.matched_kf_id == 1
+    # the rematch pose should be small (nearly the same viewpoint) and
+    # close to the ground-truth relative pose frame17-wrt-frame1
+    rel_gt = lie.relative(gt[16], gt[0])
+    d = np.asarray(e.pose_wrt_matched) - np.asarray(rel_gt)
+    assert np.abs(d[:3]).max() < 0.02, f"edge rotation off: {d}"
+    # edge file written in the reference format
+    import os
+    from egomotion_with_local_loop_closures_tpu.runtime import io as ellc_io
+    rows = ellc_io.read_pose_file(
+        os.path.join(tmp_path, "matchframes_globalopt.txt"))
+    assert rows.shape[1] == 13
+    assert rows[0, 0] == 17 and rows[0, 1] == 1
+
+
+def test_no_edges_without_revisit(tmp_path):
+    # steadily moving away: no candidate passes the KL + angle gates with
+    # gap > 8 ... or if textures repeat, matches are at least geometric
+    imgs, _ = _make_forward()
+    res = runner.run_sequence(iter([np.asarray(i) for i in imgs]), CFG,
+                              out_dir=None)
+    for e in res.extra["loop_edges"]:
+        # any accepted edge must still satisfy the gates
+        assert e.match_value <= CFG.match_threshold
+        assert e.view_angle <= CFG.max_rel_view_angle
+
+
+def _make_forward(n=25):
+    scene = synthetic.make_room_scene(seed=11, depth=1.25, half_width=1.7,
+                                      half_height=1.15)
+    fx, fy, cx, cy = CFG.level_intrinsics(0)
+    poses = jnp.asarray(np.asarray(
+        [[0.002 * i, 0.0, 0.0, 0.02 * i, 0.0, 0.0] for i in range(n)],
+        np.float32))
+    imgs = [synthetic.render(scene, p, CFG.rows, CFG.cols, fx, fy, cx, cy)[0]
+            for p in poses]
+    return imgs, poses
