@@ -114,6 +114,19 @@ class ELLCConfig:
     max_rel_view_angle: float = 10.0     # EV:165 degrees
     min_seeds_for_connection_lost: float = 0.0  # EV:171
     histogram_bins: int = 256            # GlobalOptimize.cpp:23-25
+    # Connection recovery (FLAG_RESTORE_CONNECTION, EV:176; consumed in
+    # main.cpp:252-324): when the depth map's seed occupancy drops to
+    # <= min_seeds_for_connection_lost, search the loop window for a
+    # re-localization target and adopt its propagated depth map.
+    restore_connection: bool = False
+    min_wait_count: int = 0              # EV:166 MIN_WAIT_COUNT
+    # Rotation trigger for loop-closure matching (triggerRotation,
+    # GlobalOptimize.cpp:671-714; FLAG_USE_LOOP_CLOSURE_TRIGGER): matching
+    # runs only while the angle between the camera center and the view
+    # vector exceeds the ON threshold, with hysteresis.
+    use_loop_closure_trigger: bool = False
+    trigger_loop_closure_on: float = 20.0   # EV:168 degrees
+    trigger_loop_closure_off: float = 1.0   # EV:169 degrees
 
     # --- rotation averaging (matlab_scripts) ----------------------------
     ra_batch_size: int = 4               # small_batch_rotavg.m:26
@@ -126,6 +139,10 @@ class ELLCConfig:
     # --- runtime ---------------------------------------------------------
     max_frames: int = 32500              # main.cpp:174-175
     dtype: str = "float32"
+    # Run fillDepthHoles+regularizeDepthMap as one fused VMEM-resident
+    # Pallas kernel (ops/reg_kernel.py).  Off by default: identical math,
+    # enable on TPU for guaranteed single-pass fusion.
+    use_pallas_reg: bool = False
     # Loop-closure mode: accumulate per-keyframe average GN weights during
     # tracking (saveWeights/finaliseWeights, PixelWisePyramid.cpp:544-551,
     # Frame.cpp:678-695) for constant-weight rematch alignment, and emit

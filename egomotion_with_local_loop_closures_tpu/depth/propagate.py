@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from egomotion_with_local_loop_closures_tpu.config import ELLCConfig
@@ -135,14 +136,25 @@ def propagate(state: DepthMapState,
 
 
 def _shift(a: jnp.ndarray, dy: int, dx: int, fill=0.0) -> jnp.ndarray:
-    """a shifted so that out[y, x] = a[y+dy, x+dx], edge-filled."""
+    """a shifted so that out[y, x] = a[y+dy, x+dx], edge-filled.
+
+    Implemented with lax.pad + lax.slice only (no scatter/gather), so the
+    same code runs unchanged inside the Pallas kernel (ops/reg_kernel.py)."""
     H, W = a.shape
-    out = jnp.full_like(a, fill)
-    ys0, ys1 = max(0, dy), min(H, H + dy)
-    xs0, xs1 = max(0, dx), min(W, W + dx)
-    yd0, yd1 = max(0, -dy), min(H, H - dy)
-    xd0, xd1 = max(0, -dx), min(W, W - dx)
-    return out.at[yd0:yd1, xd0:xd1].set(a[ys0:ys1, xs0:xs1])
+    pt, pb = max(0, -dy), max(0, dy)
+    pl, pr = max(0, -dx), max(0, dx)
+    pa = jax.lax.pad(a, jnp.asarray(fill, a.dtype),
+                     ((pt, pb, 0), (pl, pr, 0)))
+    return jax.lax.slice(pa, (pt + dy, pl + dx), (pt + dy + H, pl + dx + W))
+
+
+def _region_mask(H: int, W: int, y0: int, y1: int, x0: int, x1: int
+                 ) -> jnp.ndarray:
+    """Interior-region mask via iota comparisons (Pallas-safe; TPU needs
+    >=2D iota)."""
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    return (yy >= y0) & (yy < y1) & (xx >= x0) & (xx < x1)
 
 
 def fill_holes(state: DepthMapState, kf_maxgrad: jnp.ndarray,
@@ -183,7 +195,7 @@ def fill_holes(state: DepthMapState, kf_maxgrad: jnp.ndarray,
             sum_id += iv * sid
             num += sv
 
-    region = jnp.zeros((H, W), bool).at[3:H - 3, 3:W - 2].set(True)
+    region = _region_mask(H, W, 3, H - 3, 3, W - 2)
     cond = (region & ~state.valid & (kf_maxgrad >= cfg.min_abs_grad_decrease)
             & (((state.blacklisted >= cfg.min_blacklist)
                 & (val > cfg.val_sum_min_for_create))
@@ -233,7 +245,7 @@ def regularize(state: DepthMapState, cfg: ELLCConfig,
             sum_id += iv * sid
             val_sum += jnp.where(use, svalc, 0.0)
 
-    region = jnp.zeros((H, W), bool).at[3:H - 3, 2:W - 2].set(True)
+    region = _region_mask(H, W, 3, H - 3, 2, W - 2)
     touched = region & state.valid
 
     drop_val = touched & (val_sum < cfg.val_sum_min_for_keep)
@@ -263,6 +275,14 @@ def do_regularization(state: DepthMapState, kf_maxgrad: jnp.ndarray,
                       cfg: ELLCConfig,
                       remove_occlusions: bool = False) -> DepthMapState:
     """fillDepthHoles + regularizeDepthMap (doRegularization,
-    DepthPropagation.cpp:1627-1635)."""
+    DepthPropagation.cpp:1627-1635).
+
+    With ``cfg.use_pallas_reg`` both passes run as one fused
+    VMEM-resident Pallas kernel (ops/reg_kernel.py) whose body calls
+    exactly these functions — same math, guaranteed fusion."""
+    if cfg.use_pallas_reg:
+        from egomotion_with_local_loop_closures_tpu.ops import reg_kernel
+        return reg_kernel.do_regularization_pallas(state, kf_maxgrad, cfg,
+                                                   remove_occlusions)
     state = fill_holes(state, kf_maxgrad, cfg)
     return regularize(state, cfg, remove_occlusions)

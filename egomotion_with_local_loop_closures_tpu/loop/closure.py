@@ -51,6 +51,10 @@ class LoopEntry(NamedTuple):
     origin_pose: jnp.ndarray     # (6,)
     rescale: float
     seeds: float
+    # full hypothesis state of the keyframe's depth map, kept for
+    # connection recovery (LoopFrame.h:33 this_currentDepthMap); None when
+    # the pipeline runs without FLAG_RESTORE_CONNECTION to save memory
+    depth_state: object = None
 
 
 class LoopEdge(NamedTuple):
@@ -76,6 +80,19 @@ def view_angle_deg(pose_a: jnp.ndarray, pose_b: jnp.ndarray) -> jnp.ndarray:
     return jnp.arccos(jnp.clip(c, -1.0, 1.0)) * 180.0 / 3.14
 
 
+def trigger_angle_deg(world_pose: jnp.ndarray) -> jnp.ndarray:
+    """Angle between the camera center (-R^T t) and the viewing direction
+    (third row of R) of a world pose — the loop-closure trigger statistic
+    (triggerRotation, GlobalOptimize.cpp:675-683, incl. 180/3.14)."""
+    T = lie.exp_se3(jnp.asarray(world_pose))
+    R, t = T[:3, :3], T[:3, 3]
+    center = -R.T @ t
+    view = R[2, :]
+    c = jnp.dot(center, view) / (
+        jnp.linalg.norm(center) * jnp.linalg.norm(view) + 1e-12)
+    return jnp.arccos(jnp.clip(c, -1.0, 1.0)) * 180.0 / 3.14
+
+
 def rms_rotation_error(pose_a, pose_b) -> float:
     """The reference's 'rms_error': euclidean distance of the rotation
     components of the two world twists (GlobalOptimize.cpp:421)."""
@@ -89,23 +106,43 @@ class LoopCloser:
     cfg: ELLCConfig
     entries: List[LoopEntry] = dataclasses.field(default_factory=list)
     edges: List[LoopEdge] = dataclasses.field(default_factory=list)
+    # detectedShortLoopClosure hysteresis latch (GlobalOptimize.cpp:33,
+    # :690-704); starts False and is forced True when the trigger is off
+    trigger_active: bool = False
+
+    def update_trigger(self, world_pose) -> bool:
+        """triggerRotation (GlobalOptimize.cpp:671-714): turn matching ON
+        when the center/view angle exceeds trigger_loop_closure_on, OFF
+        again once it falls below trigger_loop_closure_off."""
+        theta = float(trigger_angle_deg(world_pose))
+        if not self.trigger_active and theta > self.cfg.trigger_loop_closure_on:
+            self.trigger_active = True
+        elif self.trigger_active and theta < self.cfg.trigger_loop_closure_off:
+            self.trigger_active = False
+        return self.trigger_active
 
     def push_keyframe(self, frame_id: int, image: jnp.ndarray,
                       kf_levels: Tuple[alignment.KeyframeLevel, ...],
                       weight_levels: Tuple[jnp.ndarray, ...],
                       world_pose: jnp.ndarray, origin_pose: jnp.ndarray,
-                      rescale: float, seeds: float) -> List[LoopEdge]:
+                      rescale: float, seeds: float,
+                      depth_state=None, match: bool = True) -> List[LoopEdge]:
         """pushToArray + findMatchParallel (GlobalOptimize.cpp:151-272,
         454-646): snapshot the keyframe, then match it against the window
-        and emit edges for every accepted match."""
+        and emit edges for every accepted match.  With
+        cfg.use_loop_closure_trigger, matching only runs while the
+        rotation trigger is latched on (GlobalOptimize.cpp:225-237)."""
         cfg = self.cfg
         hist = histogram.image_histogram(image, cfg.histogram_bins)
         entry = LoopEntry(frame_id=frame_id, kf_levels=kf_levels,
                           weight_levels=weight_levels, hist=hist,
                           world_pose=jnp.asarray(world_pose),
                           origin_pose=jnp.asarray(origin_pose),
-                          rescale=float(rescale), seeds=float(seeds))
-        new_edges = self._find_matches(entry, image)
+                          rescale=float(rescale), seeds=float(seeds),
+                          depth_state=depth_state)
+        do_match = match and (self.update_trigger(world_pose)
+                              if cfg.use_loop_closure_trigger else True)
+        new_edges = self._find_matches(entry, image) if do_match else []
         self.entries.append(entry)
         if len(self.entries) > cfg.loop_window:
             self.entries.pop(0)

@@ -59,6 +59,7 @@ class KeyframeSnapshot(NamedTuple):
     world_pose: jnp.ndarray
     rescale: jnp.ndarray
     seeds: jnp.ndarray
+    depth_state: dstate.DepthMapState        # hypothesis state (LoopFrame.h:33)
 
 
 class PipelineState(NamedTuple):
@@ -77,6 +78,14 @@ class FrameOutput(NamedTuple):
     weighted_pose: jnp.ndarray
     valid_fraction: jnp.ndarray
 
+
+
+def _needs_window(cfg: ELLCConfig) -> bool:
+    """Keyframe snapshots + accumulated GN weights are needed whenever the
+    loop window is in play: for loop-closure edges (FLAG_DO_LOOP_CLOSURE)
+    or for connection recovery (FLAG_RESTORE_CONNECTION), both of which
+    re-localize with the constant-weight aligner."""
+    return cfg.do_loop_closure or cfg.restore_connection
 
 def _kf_levels(kf: Keyframe) -> Tuple[alignment.KeyframeLevel, ...]:
     return tuple(alignment.KeyframeLevel(i, d, v)
@@ -173,7 +182,8 @@ def finalize_snapshot(state: PipelineState) -> KeyframeSnapshot:
     return KeyframeSnapshot(image=kf.images[0], kf_levels=_kf_levels(kf),
                             weight_levels=weights,
                             world_pose=kf.world_pose, rescale=kf.rescale,
-                            seeds=dstate.seeds_percent(state.depth))
+                            seeds=dstate.seeds_percent(state.depth),
+                            depth_state=state.depth)
 
 
 def _frame_output(state: PipelineState, pose: jnp.ndarray, diag
@@ -196,7 +206,7 @@ def track_refine_step(state: PipelineState, image: jnp.ndarray,
     iters = cfg.max_iters_replay if replay else cfg.max_iters
     pose, diag = _track(state, image, cfg, iters, init_rotation)
     kf = state.kf
-    if cfg.do_loop_closure:
+    if _needs_window(cfg):
         kf = _accumulate_weights(kf, image, pose, cfg)
     out = stereo.observe(state.depth, kf.images[0], kf.gradx,
                          kf.grady, kf.maxgrad, image, pose, cfg)
@@ -219,7 +229,7 @@ def keyframe_step(state: PipelineState, image: jnp.ndarray,
     iters = cfg.max_iters_replay if replay else cfg.max_iters
     pose, diag = _track(state, image, cfg, iters, init_rotation)
     kf_old = state.kf
-    if cfg.do_loop_closure:
+    if _needs_window(cfg):
         kf_old = _accumulate_weights(kf_old, image, pose, cfg)
 
     # finaliseKeyframe on the old KF (already regularized last frame; the
@@ -229,7 +239,7 @@ def keyframe_step(state: PipelineState, image: jnp.ndarray,
     snapshot = finalize_snapshot(
         PipelineState(kf=kf_old, depth=st_final,
                       prev_wrt_kf=pose, global_scale=state.global_scale)) \
-        if cfg.do_loop_closure else None
+        if _needs_window(cfg) else None
     st = st_final
 
     gx, gy = pyramid.gradients(image)

@@ -36,16 +36,44 @@ class RunResult:
 def run_sequence(frames: Iterable[np.ndarray], cfg: ELLCConfig,
                  out_dir: Optional[str] = None,
                  seed: int = 0,
-                 max_frames: Optional[int] = None) -> RunResult:
+                 max_frames: Optional[int] = None,
+                 checkpoint_dir: Optional[str] = None,
+                 checkpoint_every: int = 4,
+                 resume: bool = False) -> RunResult:
     """Track a full sequence with keyframing every ``cfg.keyframe_interval``
     frames.  ``frames`` yields (H, W) float32 grayscale images in [0, 255].
 
     Frames are buffered per keyframe interval and each interval executes
     as one jitted scan (pipeline.process_interval).
+
+    With ``checkpoint_dir``, the pipeline state is snapshotted every
+    ``checkpoint_every`` keyframe intervals; ``resume=True`` restores the
+    newest snapshot and fast-forwards the frame source to it — the
+    TPU-native analog of the reference's batch restart (the video is
+    skipped to BATCH_START_ID, main.cpp:156-166; the loop window starts
+    empty after restart, as in the reference's process relaunch).
     """
     it = iter(frames)
     first = jnp.asarray(next(it))
     state = pipeline.init_pipeline(first, jax.random.PRNGKey(seed), cfg)
+
+    ckpt_mgr = None
+    resume_meta = None
+    if checkpoint_dir is not None:
+        from egomotion_with_local_loop_closures_tpu.runtime import checkpoint
+        ckpt_mgr = checkpoint.CheckpointManager(checkpoint_dir)
+        if resume and ckpt_mgr.latest_step() is not None:
+            template = checkpoint.template_pipeline_state(cfg)
+            state, resume_meta = ckpt_mgr.restore(template)
+            state = jax.tree.map(jnp.asarray, state)
+            for _ in range(int(resume_meta["frame_id"]) - 1):
+                next(it)       # fast-forward (main.cpp:156-166)
+
+    if cfg.restore_connection:
+        # connection recovery needs a per-frame seed check before tracking
+        # (main.cpp:252-324), so run frame-at-a-time instead of scanning
+        # whole keyframe intervals
+        return _run_with_recovery(it, state, cfg, out_dir, max_frames)
 
     pose_w = ellc_io.PoseWriter(os.path.join(out_dir, "poses_orig.txt")) \
         if out_dir else None
@@ -69,7 +97,11 @@ def run_sequence(frames: Iterable[np.ndarray], cfg: ELLCConfig,
 
     frame_id = 1      # reference frame ids start at 1 (Frame.cpp:37)
     kf_id = 1
+    if resume_meta is not None:
+        frame_id = int(resume_meta["frame_id"])
+        kf_id = int(resume_meta["kf_id"])
     limit = max_frames if max_frames is not None else cfg.max_frames
+    intervals_done = 0
 
     buf: List[np.ndarray] = []
     done = False
@@ -99,7 +131,8 @@ def run_sequence(frames: Iterable[np.ndarray], cfg: ELLCConfig,
                     old_kf_frame_id, snapshot.image, snapshot.kf_levels,
                     snapshot.weight_levels, snapshot.world_pose,
                     jnp.zeros(6), float(snapshot.rescale),
-                    float(snapshot.seeds))
+                    float(snapshot.seeds),
+                    depth_state=snapshot.depth_state)
                 if loop_w:
                     for e in edges:
                         loop_w.write(e.frame_id, e.matched_kf_id,
@@ -133,6 +166,13 @@ def run_sequence(frames: Iterable[np.ndarray], cfg: ELLCConfig,
             if is_kf:
                 kf_id = frame_id
 
+        if len(buf) == cfg.keyframe_interval:
+            intervals_done += 1
+            if ckpt_mgr is not None and \
+                    intervals_done % checkpoint_every == 0:
+                ckpt_mgr.save(frame_id, state,
+                              meta={"frame_id": frame_id, "kf_id": kf_id})
+
     if pose_w:
         pose_w.close()
     if match_w:
@@ -149,3 +189,128 @@ def run_sequence(frames: Iterable[np.ndarray], cfg: ELLCConfig,
                      rescales=np.asarray(rescales),
                      seeds=np.asarray(seeds_l),
                      extra=extra)
+
+
+def _run_with_recovery(it, state: "pipeline.PipelineState", cfg: ELLCConfig,
+                       out_dir: Optional[str],
+                       max_frames: Optional[int]) -> RunResult:
+    """Per-frame driver with FLAG_RESTORE_CONNECTION semantics
+    (main.cpp:199-505 with the :252-324 recovery block active).
+
+    Before tracking each frame the depth map's occupancy is checked; on
+    loss the frame is re-localized against the loop window
+    (loop.recovery.find_connection) and, on success, adopted as a brand
+    new keyframe carrying the matched candidate's propagated depth map.
+    Frames that can't be re-localized are dropped without a pose line
+    (main.cpp:317-323)."""
+    from egomotion_with_local_loop_closures_tpu.depth import state as dstate
+    from egomotion_with_local_loop_closures_tpu.loop import closure, recovery
+
+    closer = closure.LoopCloser(cfg)
+    pose_w = ellc_io.PoseWriter(os.path.join(out_dir, "poses_orig.txt")) \
+        if out_dir else None
+    match_w = ellc_io.PoseWriter(os.path.join(out_dir, "matchframes.txt"),
+                                 kind="match") if out_dir else None
+    loop_w = ellc_io.PoseWriter(
+        os.path.join(out_dir, "matchframes_globalopt.txt"),
+        kind="match") if (out_dir and cfg.do_loop_closure) else None
+
+    ids: List[int] = []
+    kfids: List[int] = []
+    poses: List[np.ndarray] = []
+    rescales: List[float] = []
+    seeds_l: List[float] = []
+    recoveries: List[dict] = []
+    dropped: List[int] = []
+
+    frame_id = 1
+    kf_id = 1
+    since_kf = 0
+    limit = max_frames if max_frames is not None else cfg.max_frames
+
+    for img in it:
+        if frame_id >= limit:
+            break
+        frame_id += 1
+        image = jnp.asarray(img)
+
+        seeds_now = float(dstate.seeds_percent(state.depth))
+        if recovery.check_connection(seeds_now, cfg):
+            rec = recovery.find_connection(closer, frame_id, image, cfg)
+            if rec is None:
+                dropped.append(frame_id)     # connection still lost
+                continue
+            # adopt: the stray frame becomes the new keyframe with the
+            # propagated depth map (main.cpp:262-315)
+            kf, st = pipeline.make_keyframe(image, rec.depth_state,
+                                            rec.world_pose, rec.rescale, cfg)
+            state = pipeline.PipelineState(
+                kf=kf, depth=st, prev_wrt_kf=jnp.zeros(6),
+                global_scale=state.global_scale * rec.rescale)
+            recoveries.append({"frame_id": frame_id,
+                               "matched_kf_id": rec.matched_kf_id,
+                               "seeds": rec.seeds})
+            ids.append(frame_id)
+            kfids.append(kf_id)
+            poses.append(np.asarray(rec.world_pose))
+            rescales.append(float(rec.rescale))
+            seeds_l.append(rec.seeds)
+            if pose_w:
+                pose_w.write(frame_id, kf_id, np.asarray(rec.world_pose),
+                             float(rec.rescale), rec.seeds)
+            kf_id = frame_id
+            since_kf = 0
+            continue
+
+        since_kf += 1
+        if since_kf == cfg.keyframe_interval:
+            state, out, snapshot = pipeline.keyframe_step(state, image, cfg)
+            out = jax.tree.map(np.asarray, out)
+            if snapshot is not None:
+                # snapshot into the window even when edge emission is off —
+                # recovery needs candidates (the reference's loopFrameArray
+                # is filled whenever loop-closure machinery is active)
+                edges = closer.push_keyframe(
+                    kf_id, snapshot.image, snapshot.kf_levels,
+                    snapshot.weight_levels, snapshot.world_pose,
+                    jnp.zeros(6), float(snapshot.rescale),
+                    float(snapshot.seeds), depth_state=snapshot.depth_state,
+                    match=cfg.do_loop_closure)
+                if loop_w:
+                    for e in edges:
+                        loop_w.write(e.frame_id, e.matched_kf_id,
+                                     e.pose_wrt_matched, e.rescale, e.seeds,
+                                     extras=(e.match_value, e.rms_error,
+                                             e.view_angle))
+            if match_w:
+                match_w.write(frame_id, kf_id, out.pose_wrt_kf,
+                              out.rescale, out.seeds)
+            is_kf = True
+        else:
+            state, out = pipeline.track_refine_step(state, image, cfg)
+            out = jax.tree.map(np.asarray, out)
+            is_kf = False
+
+        ids.append(frame_id)
+        kfids.append(kf_id)
+        poses.append(out.pose_wrt_world)
+        rescales.append(float(out.rescale))
+        seeds_l.append(float(out.seeds))
+        if pose_w:
+            pose_w.write(frame_id, kf_id, out.pose_wrt_world,
+                         out.rescale, out.seeds)
+        if is_kf:
+            kf_id = frame_id
+            since_kf = 0
+
+    for w in (pose_w, match_w, loop_w):
+        if w:
+            w.close()
+    return RunResult(world_poses=np.asarray(poses),
+                     frame_ids=np.asarray(ids, dtype=np.int64),
+                     kf_ids=np.asarray(kfids, dtype=np.int64),
+                     rescales=np.asarray(rescales),
+                     seeds=np.asarray(seeds_l),
+                     extra={"loop_edges": closer.edges,
+                            "recoveries": recoveries,
+                            "dropped_frames": dropped})
