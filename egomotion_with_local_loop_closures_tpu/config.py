@@ -135,6 +135,13 @@ class ELLCConfig:
     ra_irls_max_iters: int = 100         # RobustMeanSO3Graph.m
     ra_irls_tol: float = 1e-3            # RobustMeanSO3Graph.m
     ra_l1_max_iters: int = 10            # AverageSO3Graph.m:57
+    # Final Sim(3) pose-graph refinement over the keyframe trajectory
+    # (graph/sim3.py) after the GN/RA alternation — joint
+    # rotation+translation+scale, which the reference never optimizes
+    # (RA corrects rotations only, perform_rotation_averaging_transition1
+    # .m:79-82).  Off by default for reference-faithful output.
+    do_sim3_refine: bool = False
+    sim3_iters: int = 8
 
     # --- runtime ---------------------------------------------------------
     max_frames: int = 32500              # main.cpp:174-175

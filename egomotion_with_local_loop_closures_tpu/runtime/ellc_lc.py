@@ -61,6 +61,8 @@ class LCResult:
     raw_world_poses: np.ndarray         # pre-RA (GN-only) world poses
     num_batches: int
     num_loop_edges: int
+    # Sim(3)-refined world poses (cfg.do_sim3_refine), else None
+    sim3_world_poses: Optional[np.ndarray] = None
 
 
 def _track_batch(state: pipeline.PipelineState,
@@ -233,6 +235,66 @@ def run_ellc_lc(frames: Iterable[np.ndarray], cfg: ELLCConfig,
     ids = np.asarray([f for f, _ in corrected], np.int64)
     ps = np.asarray([p for _, p in corrected])
     raw_ps = np.asarray([p for _, p in raw])
+
+    sim3_ps = None
+    if cfg.do_sim3_refine and len(ids) > cfg.keyframe_interval:
+        sim3_ps = _sim3_refine_trajectory(ids, ps, closer.edges, cfg)
+        if out_dir and sim3_ps is not None:
+            with ellc_io.PoseWriter(
+                    os.path.join(out_dir, "poses_sim3.txt")) as w:
+                for fid, p in zip(ids, sim3_ps):
+                    w.write(int(fid), 0, p, 1.0, 0.0)
+
     return LCResult(world_poses=ps, frame_ids=ids, raw_world_poses=raw_ps,
                     num_batches=num_batches,
-                    num_loop_edges=len(closer.edges))
+                    num_loop_edges=len(closer.edges),
+                    sim3_world_poses=sim3_ps)
+
+
+def _sim3_refine_trajectory(ids: np.ndarray, poses: np.ndarray,
+                            loop_edges, cfg: ELLCConfig
+                            ) -> Optional[np.ndarray]:
+    """Final global optimization: Sim(3) GN over the keyframe subgraph
+    (odometry chain + loop-closure edges), then re-attach the non-keyframe
+    poses rigidly to their keyframes — the joint
+    rotation+translation(+scale) step the reference's rotation-only
+    back-end lacks (graph/sim3.py)."""
+    from egomotion_with_local_loop_closures_tpu.graph import sim3
+
+    kf_mask = (ids - 1) % cfg.keyframe_interval == 0
+    kf_idx = np.nonzero(kf_mask)[0]
+    if len(kf_idx) < 3:
+        return None
+    kf_ids = ids[kf_idx]
+    id2node = {int(f): k for k, f in enumerate(kf_ids)}
+
+    lc = []
+    for e in loop_edges:
+        i = id2node.get(int(e.matched_kf_id))
+        j = id2node.get(int(e.frame_id))
+        if i is None or j is None:
+            continue
+        # edge measurement: X_j = rel * X_i with rel = pose of frame j
+        # w.r.t. matched keyframe i
+        lc.append((i, j, np.asarray(e.pose_wrt_matched, np.float32)))
+
+    g = sim3.graph_from_trajectory(poses[kf_idx], np.ones(len(kf_idx)),
+                                   loop_edges=lc)
+    refined, _ = sim3.refine(g, num_iters=cfg.sim3_iters)
+    refined = np.asarray(refined)
+
+    out = np.array(poses, np.float32)
+    for k, fidx in enumerate(kf_idx):
+        out[fidx] = refined[k, :6]
+    # non-KF frames ride rigidly on their preceding keyframe
+    last_kf = None
+    for i in range(len(ids)):
+        if kf_mask[i]:
+            last_kf = i
+            continue
+        if last_kf is None:
+            continue
+        rel = lie.relative(jnp.asarray(poses[i]),
+                           jnp.asarray(poses[last_kf]))
+        out[i] = np.asarray(lie.compose(rel, jnp.asarray(out[last_kf])))
+    return out

@@ -60,3 +60,20 @@ def test_ellc_lc_runs_batches_and_corrects(tmp_path):
     # output file written
     import os
     assert os.path.exists(os.path.join(tmp_path, "poses_corrected.txt"))
+
+
+def test_ellc_lc_with_sim3_refinement(tmp_path):
+    """cfg.do_sim3_refine adds a final Sim(3) pass over the keyframe
+    subgraph; on a consistent trajectory it must stay close to the
+    RA-corrected output and produce poses_sim3.txt."""
+    import os
+    imgs, gt = _sequence(n=33)
+    cfg = CFG.replace(do_sim3_refine=True, sim3_iters=4)
+    res = ellc_lc.run_ellc_lc(iter(imgs), cfg, out_dir=str(tmp_path),
+                              max_frames=len(imgs))
+    assert res.sim3_world_poses is not None
+    assert res.sim3_world_poses.shape == res.world_poses.shape
+    # refinement of a consistent graph should not blow the trajectory up
+    d = np.abs(res.sim3_world_poses - res.world_poses)
+    assert float(d[:, :3].max()) < 0.2, f"sim3 diverged: {d.max(axis=0)}"
+    assert os.path.getsize(os.path.join(tmp_path, "poses_sim3.txt")) > 0
