@@ -50,13 +50,16 @@ def initialize_random(key: jax.Array, max_grad: jnp.ndarray,
     idepth = 0.5 + 1.0 * u
     interior = jnp.zeros((H, W), bool).at[1:H - 1, 1:W - 1].set(True)
     valid = interior & (max_grad > cfg.min_abs_grad_create)
-    var = jnp.full((H, W), cfg.var_random_init)
+    # explicit float32 (not weak-typed) so the init state has the same jit
+    # signature as every steady-state DepthMapState (a weak-typed leaf
+    # forces a full second compile of each step function)
+    var = jnp.full((H, W), cfg.var_random_init, jnp.float32)
     return DepthMapState(
         idepth=jnp.where(valid, idepth, 0.0),
         var=jnp.where(valid, var, 0.0),
         idepth_smoothed=jnp.where(valid, idepth, -1.0),
         var_smoothed=jnp.where(valid, var, -1.0),
-        validity=jnp.where(valid, 20.0, 0.0),
+        validity=jnp.where(valid, jnp.float32(20.0), jnp.float32(0.0)),
         blacklisted=jnp.zeros((H, W), jnp.int32),
         valid=valid)
 
@@ -70,10 +73,10 @@ def from_depth(depth: jnp.ndarray, var: jnp.ndarray) -> DepthMapState:
     idepth = jnp.where(valid, 1.0 / jnp.where(depth > 0, depth, 1.0), 0.0)
     return DepthMapState(
         idepth=idepth,
-        var=jnp.where(valid, var, 0.0),
+        var=jnp.where(valid, jnp.asarray(var, jnp.float32), 0.0),
         idepth_smoothed=jnp.where(valid, idepth, -1.0),
-        var_smoothed=jnp.where(valid, var, -1.0),
-        validity=jnp.where(valid, 20.0, 0.0),
+        var_smoothed=jnp.where(valid, jnp.asarray(var, jnp.float32), -1.0),
+        validity=jnp.where(valid, jnp.float32(20.0), jnp.float32(0.0)),
         blacklisted=jnp.zeros((H, W), jnp.int32),
         valid=valid)
 

@@ -223,8 +223,10 @@ def line_stereo(kf_image: jnp.ndarray,
     bad = code != 0
     sx = jnp.where(bad[None], 0.0, sx)
     sy = jnp.where(bad[None], 0.0, sy)
-    samples = jax.vmap(lambda a, b2: interp.bilinear_fill(cur_image, a, b2))(
-        sx, sy)                                              # (S+4, H, W)
+    # one un-batched gather over all (S+4, H, W) coords: XLA's gather
+    # batching rule (under vmap) emits a ~200x slower kernel on TPU, so
+    # sample all epipolar steps in a single bilinear call instead
+    samples = interp.bilinear_fill(cur_image, sx, sy)        # (S+4, H, W)
 
     # residuals per step k (0..S-1): e_j(k) = samples[k+2+j] - real[2+j]
     # with j in {-2..2}; ee = sum_j e_j^2

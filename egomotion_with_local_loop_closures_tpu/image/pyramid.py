@@ -17,16 +17,23 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import numpy as np
+
 import jax.numpy as jnp
 
-_G5 = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+# Plain Python floats, NOT a module-level jnp array: a device array closed
+# over by a jitted function becomes a captured device-buffer constant in
+# the executable, which knocks the TPU-tunnel runtime out of its async
+# dispatch fast path for the whole process (~240 ms/dispatch measured).
+# Host constants (python/numpy) are inlined as HLO literals and are safe.
+_G5 = tuple(np.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0)
 
 
 def _sep_blur5(img: jnp.ndarray) -> jnp.ndarray:
     """Separable 5-tap Gaussian blur with edge replication (OpenCV
     BORDER_REFLECT_101 is close; replicate is within a hair at borders and
     border pixels are masked out of every downstream consumer anyway)."""
-    k = _G5.astype(img.dtype)
+    k = tuple(jnp.asarray(v, img.dtype) for v in _G5)
     p = jnp.pad(img, ((2, 2), (0, 0)), mode="edge")
     img = (k[0] * p[:-4] + k[1] * p[1:-3] + k[2] * p[2:-2]
            + k[3] * p[3:-1] + k[4] * p[4:])

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from egomotion_with_local_loop_closures_tpu.config import ELLCConfig
-from egomotion_with_local_loop_closures_tpu.geom import lie
+from egomotion_with_local_loop_closures_tpu.geom import lie, linear
 from egomotion_with_local_loop_closures_tpu.runtime import pipeline
 from egomotion_with_local_loop_closures_tpu.track import alignment
 
@@ -73,7 +73,7 @@ def sharded_gn_step(kf: alignment.KeyframeLevel,
                     cfg: ELLCConfig, mesh: Mesh) -> jnp.ndarray:
     """One pixel-sharded GN pose update (solve + left-compose)."""
     H, g = sharded_gn_quantities(kf, cur, pose, level, cfg, mesh)
-    delta = -jnp.linalg.solve(H + 1e-12 * jnp.eye(6, dtype=H.dtype), g)
+    delta = -linear.solve_spd(H + 1e-12 * jnp.eye(6, dtype=H.dtype), g)
     ok = jnp.all(jnp.isfinite(delta)) & (jnp.max(jnp.abs(delta)) < 1e3)
     delta = jnp.where(ok, delta, 0.0)
     return lie.compose(delta, pose)

@@ -107,11 +107,15 @@ def make_keyframe(image: jnp.ndarray, st: dstate.DepthMapState,
     gx, gy = pyramid.gradients(image)
     mg = pyramid.max_abs_gradient(gx, gy)
     imgs = tuple(pyramid.build_pyramid(image, cfg.num_levels))
+    # explicit dtypes everywhere: a weak-typed scalar here would give the
+    # initial PipelineState a different jit signature than the steady-state
+    # one, silently recompiling every step-function twice (~25 s each)
     kf = Keyframe(images=imgs,
                   depths=(), vars_=(), gradx=gx, grady=gy, maxgrad=mg,
-                  world_pose=world_pose, rescale=rescale,
+                  world_pose=jnp.asarray(world_pose, jnp.float32),
+                  rescale=jnp.asarray(rescale, jnp.float32),
                   weight_acc=tuple(jnp.zeros_like(i) for i in imgs),
-                  weight_count=jnp.asarray(0.0))
+                  weight_count=jnp.asarray(0.0, jnp.float32))
     return _refresh_kf_depth(kf, st, cfg)
 
 
@@ -124,10 +128,11 @@ def init_pipeline(first_image: jnp.ndarray, key: jax.Array,
     mg = pyramid.max_abs_gradient(gx, gy)
     st = dstate.initialize_random(key, mg, cfg)
     st = propagate.regularize(st, cfg)
-    kf, st = make_keyframe(first_image, st, jnp.zeros(6),
-                           jnp.asarray(1.0), cfg)
-    return PipelineState(kf=kf, depth=st, prev_wrt_kf=jnp.zeros(6),
-                         global_scale=jnp.asarray(1.0))
+    kf, st = make_keyframe(first_image, st, jnp.zeros(6, jnp.float32),
+                           jnp.asarray(1.0, jnp.float32), cfg)
+    return PipelineState(kf=kf, depth=st,
+                         prev_wrt_kf=jnp.zeros(6, jnp.float32),
+                         global_scale=jnp.asarray(1.0, jnp.float32))
 
 
 def init_from_depth(first_image: jnp.ndarray, depth: jnp.ndarray,
@@ -136,9 +141,11 @@ def init_from_depth(first_image: jnp.ndarray, depth: jnp.ndarray,
     """Start from a saved depth map (FLAG_REPLICATE_NEW_DEPTH replay path,
     DepthPropagation.cpp:90-137)."""
     st = dstate.from_depth(depth, var)
-    kf, st = make_keyframe(first_image, st, world_pose, jnp.asarray(1.0), cfg)
-    return PipelineState(kf=kf, depth=st, prev_wrt_kf=jnp.zeros(6),
-                         global_scale=jnp.asarray(1.0))
+    kf, st = make_keyframe(first_image, st, world_pose,
+                           jnp.asarray(1.0, jnp.float32), cfg)
+    return PipelineState(kf=kf, depth=st,
+                         prev_wrt_kf=jnp.zeros(6, jnp.float32),
+                         global_scale=jnp.asarray(1.0, jnp.float32))
 
 
 def _track(state: PipelineState, image: jnp.ndarray, cfg: ELLCConfig,

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from egomotion_with_local_loop_closures_tpu.config import ELLCConfig
-from egomotion_with_local_loop_closures_tpu.geom import camera, lie
+from egomotion_with_local_loop_closures_tpu.geom import camera, lie, linear
 from egomotion_with_local_loop_closures_tpu.image import interp, pyramid
 
 
@@ -230,7 +230,7 @@ def gn_level_const_weight(kf: KeyframeLevel, weights: jnp.ndarray,
         warped, in_bounds = interp.bilinear(cur.image, wx, wy)
         residual = jnp.where(in_bounds & mask, warped - kf.image, 0.0)
         g = jnp.einsum("hwi,hw->i", J, residual * weights)
-        delta = -jnp.linalg.solve(
+        delta = -linear.solve_spd(
             Hmat + 1e-12 * jnp.eye(6, dtype=Hmat.dtype), g)
         # see gn_level: zero the update on singular/near-singular systems
         # (OpenCV inv() semantics, PixelWisePyramid.cpp:939)
@@ -281,7 +281,7 @@ def gn_level(kf: KeyframeLevel, cur: CurrentLevel, pose0: jnp.ndarray,
     def body(carry, _):
         pose, done, wp_last, iters = carry
         Hmat, g, _, _ = _gn_quantities(kf, cur, pose, intr, cfg)
-        delta = -jnp.linalg.solve(
+        delta = -linear.solve_spd(
             Hmat + 1e-12 * jnp.eye(6, dtype=Hmat.dtype), g)
         # near-singular systems yield finite-but-astronomical deltas that
         # overflow exp_se3; OpenCV's Mat::inv() (used by the reference,

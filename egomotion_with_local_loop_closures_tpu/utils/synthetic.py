@@ -86,10 +86,12 @@ def make_room_scene(seed: int = 0, num_harmonics: int = 24,
     amp = (160.0 * fmag ** -0.6
            / np.sqrt(num_harmonics / 8.0)).astype(np.float32)
     mean = np.full((K,), 120.0, np.float32)
-    return PlaneScene(jnp.asarray(normals), jnp.asarray(offsets),
-                      jnp.asarray(freq), jnp.asarray(phase), jnp.asarray(amp),
-                      jnp.asarray(mean), jnp.asarray(tangent_u),
-                      jnp.asarray(tangent_v))
+    # Keep scene data as HOST (numpy) arrays: scenes are typically closed
+    # over by jitted render lambdas, and a captured *device* array drops
+    # the TPU-tunnel runtime out of its async dispatch fast path for the
+    # whole process; numpy constants inline as HLO literals and are safe.
+    return PlaneScene(normals, offsets, freq, phase, amp,
+                      mean, tangent_u, tangent_v)
 
 
 def render(scene: PlaneScene, pose_wrt_world: jnp.ndarray,
@@ -110,10 +112,19 @@ def render(scene: PlaneScene, pose_wrt_world: jnp.ndarray,
     d_world = jnp.einsum("ij,hwj->hwi", R_wc, d_cam)        # (H, W, 3)
     o_world = t_wc                                           # (3,)
 
+    # materialize scene constants in-trace (inlined as HLO literals)
+    n = jnp.asarray(scene.normals)                           # (K, 3)
+    offsets = jnp.asarray(scene.offsets)
+    s_tu = jnp.asarray(scene.tangent_u)
+    s_tv = jnp.asarray(scene.tangent_v)
+    s_freq = jnp.asarray(scene.tex_freq)
+    s_phase = jnp.asarray(scene.tex_phase)
+    s_amp = jnp.asarray(scene.tex_amp)
+    s_mean = jnp.asarray(scene.tex_mean)
+
     # intersect each plane: t = (offset - n.o) / (n.d); valid if t > eps
-    n = scene.normals                                        # (K, 3)
     denom = jnp.einsum("kj,hwj->hwk", n, d_world)
-    num = scene.offsets[None, None, :] - jnp.einsum("kj,j->k", n, o_world)
+    num = offsets[None, None, :] - jnp.einsum("kj,j->k", n, o_world)
     t = num / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)  # (H, W, K)
     t = jnp.where(t > 1e-4, t, jnp.inf)
     k_hit = jnp.argmin(t, axis=-1)                           # nearest plane
@@ -121,15 +132,15 @@ def render(scene: PlaneScene, pose_wrt_world: jnp.ndarray,
     P_world = o_world + t_hit[..., None] * d_world           # (H, W, 3)
 
     # texture coordinates on the hit plane
-    tu = scene.tangent_u[k_hit]                              # (H, W, 3)
-    tv = scene.tangent_v[k_hit]
+    tu = s_tu[k_hit]                                         # (H, W, 3)
+    tv = s_tv[k_hit]
     u = jnp.sum(P_world * tu, axis=-1)
     v = jnp.sum(P_world * tv, axis=-1)
-    freq = scene.tex_freq[k_hit]                             # (H, W, M, 2)
-    phase = scene.tex_phase[k_hit]                           # (H, W, M)
-    amp = scene.tex_amp[k_hit]
+    freq = s_freq[k_hit]                                     # (H, W, M, 2)
+    phase = s_phase[k_hit]                                   # (H, W, M)
+    amp = s_amp[k_hit]
     arg = freq[..., 0] * u[..., None] + freq[..., 1] * v[..., None] + phase
-    img = scene.tex_mean[k_hit] + jnp.sum(amp * jnp.cos(arg), axis=-1)
+    img = s_mean[k_hit] + jnp.sum(amp * jnp.cos(arg), axis=-1)
     img = jnp.clip(img, 0.0, 255.0)
 
     # depth in the rendered camera frame: z-component of P in camera coords
@@ -151,10 +162,15 @@ def trajectory(num_frames: int, seed: int = 0,
     vel[:, :3] *= rot_step
     vel[:, 3:] *= trans_step
     poses = [np.zeros(6, np.float32)]
-    cur = jnp.zeros(6)
-    for i in range(1, num_frames):
-        cur = lie.compose(jnp.asarray(vel[i]), cur)
-        poses.append(np.asarray(cur))
+    # run the per-step Lie composition on the host CPU backend: a long
+    # chain of tiny eager TPU dispatches is pure overhead (and on the
+    # TPU-tunnel runtime it degrades the process's dispatch path)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        cur = jnp.zeros(6)
+        for i in range(1, num_frames):
+            cur = lie.compose(jnp.asarray(vel[i]), cur)
+            poses.append(np.asarray(cur))
     return jnp.asarray(np.stack(poses))
 
 
