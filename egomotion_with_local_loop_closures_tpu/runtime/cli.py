@@ -5,9 +5,14 @@ Usage:
         --frames <image_dir> --out <out_dir> [--max-frames N]
     python -m egomotion_with_local_loop_closures_tpu.runtime.cli \
         --synthetic N --out <out_dir> [--rows R --cols C]
+    python -m ...runtime.cli --synthetic N --out <out_dir> --lc
 
-Replaces invoking the reference binary (``ELLC`` default mode); writes
-``poses_orig.txt`` and ``matchframes.txt`` in the reference formats.
+Replaces invoking the reference binary: default mode = plain GN tracking
+(``ELLC``, src/main.cpp:76-88), ``--lc`` = the alternating GN / rotation-
+averaging pipeline (``ELLC LC ../config.txt`` + the MATLAB batch loop of
+bin/ELLC_LC.sh, run in-process — no process restarts or text-file state).
+Writes ``poses_orig.txt`` / ``matchframes.txt`` (+ ``poses_corrected.txt``
+and ``poses_sim3.txt`` in LC mode) in the reference formats.
 """
 
 from __future__ import annotations
@@ -32,6 +37,9 @@ def main(argv=None) -> int:
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--lc", action="store_true",
+                    help="alternating GN/rotation-averaging mode "
+                         "(the reference's 'ELLC LC' + MATLAB loop)")
     args = ap.parse_args(argv)
 
     import jax
@@ -71,11 +79,12 @@ def main(argv=None) -> int:
                                   rot_step=0.0015, trans_step=0.02)
         fx, fy, cx, cy = cfg.level_intrinsics(0)
 
+        render = jax.jit(lambda p: synthetic.render(
+            scene, p, cfg.rows, cfg.cols, fx, fy, cx, cy)[0])
+
         def frames():
             for p in gt:
-                img, _ = synthetic.render(scene, p, cfg.rows, cfg.cols,
-                                          fx, fy, cx, cy)
-                yield img
+                yield render(p)
         src = frames()
         import numpy as np
         np.savetxt(os.path.join(args.out, "poses_gt.txt"),
@@ -86,12 +95,24 @@ def main(argv=None) -> int:
         ap.error("need --frames or --synthetic")
 
     t0 = time.time()
-    result = runner.run_sequence(src, cfg, out_dir=args.out,
-                                 max_frames=args.max_frames,
-                                 seed=args.seed)
-    dt = time.time() - t0
-    n = len(result.frame_ids)
-    print(f"tracked {n} frames in {dt:.2f}s ({n / max(dt, 1e-9):.2f} fps)")
+    if args.lc:
+        from egomotion_with_local_loop_closures_tpu.runtime import ellc_lc
+        result = ellc_lc.run_ellc_lc(src, cfg, out_dir=args.out,
+                                     seed=args.seed,
+                                     max_frames=args.max_frames)
+        dt = time.time() - t0
+        n = len(result.frame_ids)
+        print(f"LC mode: {n} corrected poses, {result.num_batches} batches, "
+              f"{result.num_loop_edges} loop edges in {dt:.2f}s "
+              f"({n / max(dt, 1e-9):.2f} fps)")
+    else:
+        result = runner.run_sequence(src, cfg, out_dir=args.out,
+                                     max_frames=args.max_frames,
+                                     seed=args.seed)
+        dt = time.time() - t0
+        n = len(result.frame_ids)
+        print(f"tracked {n} frames in {dt:.2f}s "
+              f"({n / max(dt, 1e-9):.2f} fps)")
     print(f"outputs written to {args.out}")
     return 0
 

@@ -61,3 +61,54 @@ def ate_rmse(poses_est: jnp.ndarray, poses_gt: jnp.ndarray,
     X_aligned = s * Xc @ R.T + my
     err = jnp.linalg.norm(X_aligned - Y, axis=1)
     return jnp.sqrt(jnp.mean(err * err))
+
+
+def reprojection_error(pose_est: jnp.ndarray,
+                       depth_ref: jnp.ndarray,
+                       pose_true: jnp.ndarray,
+                       fx: float, fy: float, cx: float, cy: float,
+                       grad_mask: jnp.ndarray | None = None
+                       ) -> Dict[str, jnp.ndarray]:
+    """Pose-accuracy check by dense point reprojection — the TPU-native
+    analog of the reference's (dead-code) validation helper
+    ``Tests::calculateReprojectionError`` (``src/Tests.h:21-206``).
+
+    The reference matches SURF keypoints between two frames and reports
+    per-match and summed pixel reprojection error of the GN-estimated
+    pose.  Here ground truth replaces feature matching: every reference
+    pixel with known depth is back-projected, transformed by the
+    *estimated* relative pose and by the *true* relative pose, projected
+    into the second view, and the pixel displacement between the two
+    projections is reported (mean / median / max / sum over valid
+    pixels).  ``grad_mask`` optionally restricts to high-gradient pixels,
+    mirroring the keypoint-like selection of the original.
+    """
+    H, W = depth_ref.shape
+    from egomotion_with_local_loop_closures_tpu.geom import camera
+
+    x, y = camera.pixel_grid(H, W, dtype=depth_ref.dtype)
+    valid = depth_ref > 0
+    if grad_mask is not None:
+        valid = valid & grad_mask
+    P = camera.backproject(x, y, jnp.where(valid, depth_ref, 1.0),
+                           fx, fy, cx, cy)
+
+    def proj(pose):
+        T = lie.exp_se3(pose)
+        Pt = jnp.einsum("ij,hwj->hwi", T[:3, :3], P) + T[:3, 3]
+        u, v, z = camera.project(Pt, fx, fy, cx, cy, eps=1e-10)
+        return u, v, z
+
+    ue, ve, ze = proj(pose_est)
+    ut, vt, zt = proj(pose_true)
+    ok = valid & (ze > 1e-6) & (zt > 1e-6)
+    d = jnp.sqrt((ue - ut) ** 2 + (ve - vt) ** 2)
+    d = jnp.where(ok, d, jnp.nan)
+    n = jnp.maximum(jnp.sum(ok), 1)
+    return {
+        "mean_px": jnp.nansum(d) / n,
+        "median_px": jnp.nanmedian(d),
+        "max_px": jnp.nanmax(jnp.where(ok, d, -jnp.inf)),
+        "sum_px": jnp.nansum(d),
+        "num_points": jnp.sum(ok),
+    }

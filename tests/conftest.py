@@ -18,3 +18,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# the suite is dominated by XLA:CPU compiles of the big pipeline jits;
+# cache them across runs (first run pays, reruns are minutes faster)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ellc_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -50,9 +50,13 @@ def test_pixel_sharded_gn_matches_single_device():
 def test_pixel_sharded_gn_step_converges():
     m = mesh_mod.make_mesh(video=1, pixel=8)
     kf, cur, true_pose = _pair()
+    # jit once: un-jitted, each eager call re-stages the shard_map and
+    # pays a full XLA compile (this one test used to take 20 minutes)
+    step = jax.jit(lambda k, c, p: sharded.sharded_gn_step(
+        k, c, p, 0, CFG, m))
     pose = jnp.zeros(6)
     for _ in range(10):
-        pose = sharded.sharded_gn_step(kf[0], cur[0], pose, 0, CFG, m)
+        pose = step(kf[0], cur[0], pose)
     from egomotion_with_local_loop_closures_tpu.geom import lie
     ang = float(lie.rotation_angle_deg(lie.exp_se3(pose)[:3, :3],
                                        lie.exp_se3(true_pose)[:3, :3]))
