@@ -26,6 +26,11 @@ import time
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="ELLC-TPU sequence runner")
     ap.add_argument("--frames", help="directory of image frames")
+    ap.add_argument("--video", help="video file (decoded like the "
+                    "reference: resize 1/4, BGR->gray)")
+    ap.add_argument("--skip", type=int, default=0,
+                    help="fast-forward N frames before tracking "
+                         "(the reference's BATCH_START_ID skip)")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="render N synthetic frames instead of reading files")
     ap.add_argument("--out", required=True, help="output directory")
@@ -89,10 +94,26 @@ def main(argv=None) -> int:
         import numpy as np
         np.savetxt(os.path.join(args.out, "poses_gt.txt"),
                    np.asarray(gt), fmt="%.9g")
-    elif args.frames:
-        src = ellc_io.image_dir_frames(args.frames)
+    elif args.video or args.frames:
+        import itertools
+        src = (ellc_io.video_frames(args.video, skip=args.skip)
+               if args.video else ellc_io.image_dir_frames(args.frames))
+        # align the camera model to the actual decoded frame size unless
+        # the user pinned it (the reference requires editing
+        # ExternVariable.h to match the video; here it is automatic)
+        first = next(src)
+        h, w = first.shape[:2]
+        fixes = {}
+        if not args.rows and cfg.rows != h:
+            fixes.update(rows=h, cy=h / 2.0)
+        if not args.cols and cfg.cols != w:
+            fixes.update(cols=w, cx=w / 2.0)
+        if fixes:
+            cfg = cfg.replace(**fixes)
+            print(f"camera model set to decoded frame size {h}x{w}")
+        src = itertools.chain([first], src)
     else:
-        ap.error("need --frames or --synthetic")
+        ap.error("need --video, --frames or --synthetic")
 
     t0 = time.time()
     if args.lc:

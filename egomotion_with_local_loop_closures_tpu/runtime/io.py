@@ -10,8 +10,10 @@ GlobalOptimize.cpp:574-582):
 - ``matchframes_globalopt.txt``: loop-closure edges — pose w.r.t. the
   matched keyframe plus ``matchValue rms_error view_angle``.
 
-Frame sources: an image directory (the reference reads ``data/%06d.jpg``
-via cv::VideoCapture, main.cpp:108) or in-memory arrays (synthetic).
+Frame sources: a video file (cv::VideoCapture on ``input.MP4``,
+main.cpp:108,147-166 — including the resize-to-quarter + grayscale
+preprocessing of Frame.cpp:34-124 and the skip-to-batch-start fast
+forward), an image directory, or in-memory arrays (synthetic).
 """
 
 from __future__ import annotations
@@ -62,6 +64,43 @@ def read_pose_file(path: str) -> np.ndarray:
             if line:
                 rows.append([float(v) for v in line.split()])
     return np.asarray(rows, dtype=np.float64)
+
+
+def video_frames(path: str, gray: bool = True, resize_factor: float = 0.25,
+                 skip: int = 0, max_frames: Optional[int] = None
+                 ) -> Iterator[np.ndarray]:
+    """Decode a video file with OpenCV, reproducing the reference's frame
+    preprocessing: resize by ``resize_factor`` (1920x1080 -> 480x270,
+    src/ExternVariable.h:50-51, Frame.cpp:60-66) and BGR -> gray
+    (Frame.cpp:83).  ``skip`` fast-forwards to a batch start the way
+    main.cpp:156-166 grabs and discards frames.
+
+    Yields float32 (H, W) arrays in [0, 255].
+    """
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video: {path}")
+    try:
+        for _ in range(skip):
+            if not cap.grab():
+                return
+        n = 0
+        while max_frames is None or n < max_frames:
+            ok, frame = cap.read()
+            if not ok:
+                return
+            if resize_factor != 1.0:
+                frame = cv2.resize(frame, None, fx=resize_factor,
+                                   fy=resize_factor,
+                                   interpolation=cv2.INTER_LINEAR)
+            if gray and frame.ndim == 3:
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+            yield np.asarray(frame, dtype=np.float32)
+            n += 1
+    finally:
+        cap.release()
 
 
 def image_dir_frames(path: str, gray: bool = True
