@@ -85,3 +85,17 @@ def undistort_map(rows: int, cols: int,
     yn = (y - cy) / fy
     xd, yd = distort_normalized(xn, yn, dist)
     return xd * fx + cx, yd * fy + cy
+
+
+def undistort_image(image: jnp.ndarray,
+                    fx: float, fy: float, cx: float, cy: float,
+                    dist: Tuple[float, float, float, float, float]
+                    ) -> jnp.ndarray:
+    """Undistort an image by bilinear resampling at the distorted source
+    coordinates (cv::undistort, Frame.cpp:86-96).  Out-of-image samples
+    fill with 0, matching cv::remap's default border."""
+    from egomotion_with_local_loop_closures_tpu.image import interp
+
+    H, W = image.shape
+    xs, ys = undistort_map(H, W, fx, fy, cx, cy, dist)
+    return interp.bilinear_fill(image, xs, ys)

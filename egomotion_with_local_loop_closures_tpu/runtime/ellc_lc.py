@@ -138,8 +138,9 @@ def run_ellc_lc(frames: Iterable[np.ndarray], cfg: ELLCConfig,
                 out_dir: Optional[str] = None, seed: int = 0,
                 max_frames: Optional[int] = None) -> LCResult:
     """The full alternating pipeline on a frame stream."""
+    from egomotion_with_local_loop_closures_tpu.runtime import runner
     cfg = cfg.replace(do_loop_closure=True)
-    it = iter(frames)
+    it = iter(runner.undistort_source(frames, cfg))
     first = jnp.asarray(np.asarray(next(it)))
     state = pipeline.init_pipeline(first, jax.random.PRNGKey(seed), cfg)
     closer = closure.LoopCloser(cfg)

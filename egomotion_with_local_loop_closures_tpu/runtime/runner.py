@@ -23,6 +23,20 @@ from egomotion_with_local_loop_closures_tpu.runtime import io as ellc_io
 from egomotion_with_local_loop_closures_tpu.runtime import pipeline
 
 
+def undistort_source(frames: Iterable[np.ndarray], cfg: ELLCConfig
+                     ) -> Iterable[np.ndarray]:
+    """Wrap a frame source with per-frame undistortion when
+    ``cfg.do_undistortion`` is set (cv::undistort on every decoded frame,
+    Frame.cpp:86-96; model constants EV:62)."""
+    if not cfg.do_undistortion:
+        return frames
+    from egomotion_with_local_loop_closures_tpu.geom import camera
+
+    f = jax.jit(lambda im: camera.undistort_image(
+        im, cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.distortion))
+    return (f(jnp.asarray(np.asarray(im))) for im in frames)
+
+
 @dataclass
 class RunResult:
     world_poses: np.ndarray        # (N, 6) poseWrtWorld per tracked frame
@@ -53,7 +67,7 @@ def run_sequence(frames: Iterable[np.ndarray], cfg: ELLCConfig,
     skipped to BATCH_START_ID, main.cpp:156-166; the loop window starts
     empty after restart, as in the reference's process relaunch).
     """
-    it = iter(frames)
+    it = iter(undistort_source(frames, cfg))
     first = jnp.asarray(next(it))
     state = pipeline.init_pipeline(first, jax.random.PRNGKey(seed), cfg)
 
