@@ -188,7 +188,7 @@ class LoopCloser:
             # initial pose: current world relative to the matched KF's
             # world (ImageFunc.cpp:97-108 with tminus1 = the frame itself)
             pose0 = lie.relative(entry.world_pose, e.world_pose)
-            pose, _ = alignment.align_const_weight(
+            pose, _ = alignment.align_const_weight_jit(
                 e.kf_levels, e.weight_levels, cur_levels, pose0, cfg)
             ang = float(view_angle_deg(e.world_pose, entry.world_pose))
             edges.append(LoopEdge(

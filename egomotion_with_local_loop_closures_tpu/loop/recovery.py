@@ -80,7 +80,7 @@ def find_connection(closer: LoopCloser, frame_id: int,
             continue
         # re-estimate pose from zero init (initial_pose = 0,
         # GlobalOptimize.cpp:850-868) with the const-weight aligner
-        pose, _ = alignment.align_const_weight(
+        pose, _ = alignment.align_const_weight_jit(
             e.kf_levels, e.weight_levels, cur_levels, jnp.zeros(6), cfg)
         # propagate the candidate's hypotheses into the stray frame and
         # finalize it like createKeyFrame (DepthPropagation.cpp:1758-1794)

@@ -343,3 +343,14 @@ def align(kf_levels: Tuple[KeyframeLevel, ...],
 def align_jit(kf_levels, cur_levels, pose0, cfg: ELLCConfig,
               max_iters: Tuple[int, ...] | None = None):
     return align(kf_levels, cur_levels, pose0, cfg, max_iters)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_iters"))
+def align_const_weight_jit(kf_levels, weight_levels, cur_levels, pose0,
+                           cfg: ELLCConfig,
+                           max_iters: Tuple[int, ...] | None = None):
+    """Jitted constant-weight rematch alignment: one dispatch per
+    candidate instead of hundreds of eager ops (used by the loop-closure
+    window walk and connection recovery)."""
+    return align_const_weight(kf_levels, weight_levels, cur_levels, pose0,
+                              cfg, max_iters)
