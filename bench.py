@@ -40,8 +40,8 @@ def main() -> int:
     scene = synthetic.make_room_scene(seed=0, depth=1.25, half_width=1.7,
                                       half_height=1.15)
 
-    n_intervals = int(os.environ.get("BENCH_INTERVALS", "4"))
-    poses = synthetic.trajectory(1 + K * (n_intervals + 1), seed=0,
+    n_intervals = int(os.environ.get("BENCH_INTERVALS", "8"))
+    poses = synthetic.trajectory(1 + 2 * K * n_intervals, seed=0,
                                  rot_step=0.0015, trans_step=0.02)
     render = jax.jit(lambda p: synthetic.render(
         scene, p, cfg.rows, cfg.cols, fx, fy, cx, cy)[0])
@@ -49,17 +49,20 @@ def main() -> int:
 
     state = pipeline.init_pipeline(frames[0], jax.random.PRNGKey(0), cfg)
 
-    # warmup: compile + one interval
-    state, outs, _ = pipeline.process_interval(state, frames[1:1 + K], cfg)
+    # warmup: compile + one chunk (runner dispatches whole multi-interval
+    # chunks via process_intervals, runner.py)
+    chunk = frames[1:1 + K * n_intervals].reshape(
+        n_intervals, K, cfg.rows, cfg.cols)
+    state, outs, _ = pipeline.process_intervals(state, chunk, cfg)
     jax.block_until_ready(outs.pose_wrt_world)
 
+    lo = 1 + K * n_intervals
+    chunk2 = frames[lo:lo + K * n_intervals]
+    n_frames = chunk2.shape[0] - chunk2.shape[0] % K
+    chunk2 = chunk2[:n_frames].reshape(-1, K, cfg.rows, cfg.cols)
+
     t0 = time.perf_counter()
-    n_frames = 0
-    for i in range(n_intervals):
-        lo = 1 + K * (i + 1)
-        state, outs, _ = pipeline.process_interval(
-            state, frames[lo:lo + K], cfg)
-        n_frames += K
+    state, outs, _ = pipeline.process_intervals(state, chunk2, cfg)
     jax.block_until_ready(outs.pose_wrt_world)
     dt = time.perf_counter() - t0
 

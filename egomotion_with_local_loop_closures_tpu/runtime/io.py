@@ -30,6 +30,9 @@ class PoseWriter:
     def __init__(self, path: str, kind: str = "orig"):
         self.path = path
         self.kind = kind
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         self._f = open(path, "w")
 
     def write(self, frame_id: int, kf_id: int, pose: Sequence[float],

@@ -304,3 +304,24 @@ def process_interval(state: PipelineState, images: jnp.ndarray,
     all_outs = jax.tree.map(
         lambda a, b: jnp.concatenate([a, b[None]], axis=0), outs, kf_out)
     return state, all_outs, snapshot
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "replay"))
+def process_intervals(state: PipelineState, images: jnp.ndarray,
+                      cfg: ELLCConfig, replay: bool = False
+                      ) -> Tuple[PipelineState, FrameOutput]:
+    """Scan N whole keyframe intervals in ONE XLA dispatch.
+
+    ``images`` has shape (N, K, H, W).  The per-dispatch overhead of the
+    host->device tunnel (~0.1 ms, see BASELINE.md) dominates a single
+    interval at this resolution, so batching intervals into one scan is
+    the main single-video throughput lever.  Outputs come back stacked
+    (N, K, ...); keyframe snapshots (the loop-closure window feed) are
+    stacked per interval when the window is enabled.
+    """
+    def body(st, imgs):
+        st, outs, snapshot = process_interval(st, imgs, cfg, replay)
+        return st, (outs, snapshot)
+
+    state, (outs, snapshots) = jax.lax.scan(body, state, images)
+    return state, outs, snapshots

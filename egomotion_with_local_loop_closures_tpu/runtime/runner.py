@@ -53,12 +53,18 @@ def run_sequence(frames: Iterable[np.ndarray], cfg: ELLCConfig,
                  max_frames: Optional[int] = None,
                  checkpoint_dir: Optional[str] = None,
                  checkpoint_every: int = 4,
-                 resume: bool = False) -> RunResult:
+                 resume: bool = False,
+                 intervals_per_dispatch: int = 4) -> RunResult:
     """Track a full sequence with keyframing every ``cfg.keyframe_interval``
     frames.  ``frames`` yields (H, W) float32 grayscale images in [0, 255].
 
     Frames are buffered per keyframe interval and each interval executes
-    as one jitted scan (pipeline.process_interval).
+    as one jitted scan (pipeline.process_interval).  Without loop
+    closures, up to ``intervals_per_dispatch`` whole intervals are
+    buffered and scanned in a single dispatch
+    (pipeline.process_intervals) to amortize host->device latency; with
+    loop closures the window must be fed between intervals, so dispatch
+    stays per-interval.
 
     With ``checkpoint_dir``, the pipeline state is snapshotted every
     ``checkpoint_every`` keyframe intervals; ``resume=True`` restores the
@@ -117,11 +123,16 @@ def run_sequence(frames: Iterable[np.ndarray], cfg: ELLCConfig,
     limit = max_frames if max_frames is not None else cfg.max_frames
     intervals_done = 0
 
+    K = cfg.keyframe_interval
+    # loop closures consume a snapshot between intervals; keep those
+    # dispatches per-interval so the window is fed in order
+    ipd = 1 if closer is not None else max(1, intervals_per_dispatch)
+
     buf: List[np.ndarray] = []
     done = False
     while not done:
         buf.clear()
-        while len(buf) < cfg.keyframe_interval:
+        while len(buf) < K * ipd:
             try:
                 buf.append(np.asarray(next(it)))
             except StopIteration:
@@ -132,11 +143,21 @@ def run_sequence(frames: Iterable[np.ndarray], cfg: ELLCConfig,
                 break
         if not buf:
             break
-        if len(buf) == cfg.keyframe_interval:
+
+        n_full = len(buf) // K
+        tail = buf[n_full * K:]
+        outs = None
+        if n_full > 1:
+            stacked = jnp.asarray(np.stack(buf[:n_full * K])).reshape(
+                n_full, K, *buf[0].shape)
+            state, outs, _ = pipeline.process_intervals(state, stacked, cfg)
+            outs = jax.tree.map(
+                lambda a: np.asarray(a).reshape(n_full * K, *a.shape[2:]),
+                outs)
+        elif n_full == 1:
             state, outs, snapshot = pipeline.process_interval(
-                state, jnp.asarray(np.stack(buf)), cfg)
+                state, jnp.asarray(np.stack(buf[:K])), cfg)
             outs = jax.tree.map(np.asarray, outs)
-            n = len(buf)
             if closer is not None and snapshot is not None:
                 # push the finalized OLD keyframe (pushToArray,
                 # main.cpp:452-465) and emit any loop-closure edges
@@ -153,16 +174,18 @@ def run_sequence(frames: Iterable[np.ndarray], cfg: ELLCConfig,
                                      e.pose_wrt_matched, e.rescale, e.seeds,
                                      extras=(e.match_value, e.rms_error,
                                              e.view_angle))
-        else:
+        if tail:
             # tail shorter than an interval: per-frame steps, no final KF
             outs_list = []
-            for img in buf:
+            for img in tail:
                 state, o = pipeline.track_refine_step(state, jnp.asarray(img),
                                                       cfg)
                 outs_list.append(jax.tree.map(np.asarray, o))
-            outs = jax.tree.map(lambda *xs: np.stack(xs), *outs_list)
-            n = len(buf)
+            tail_outs = jax.tree.map(lambda *xs: np.stack(xs), *outs_list)
+            outs = tail_outs if outs is None else jax.tree.map(
+                lambda a, b: np.concatenate([a, b], axis=0), outs, tail_outs)
 
+        n = n_full * K + len(tail)
         for j in range(n):
             frame_id += 1
             ids.append(frame_id)
@@ -173,17 +196,19 @@ def run_sequence(frames: Iterable[np.ndarray], cfg: ELLCConfig,
             if pose_w:
                 pose_w.write(frame_id, kf_id, outs.pose_wrt_world[j],
                              outs.rescale[j], outs.seeds[j])
-            is_kf = (len(buf) == cfg.keyframe_interval and j == n - 1)
+            is_kf = (j < n_full * K and (j + 1) % K == 0)
             if match_w and is_kf:
                 match_w.write(frame_id, kf_id, outs.pose_wrt_kf[j],
                               outs.rescale[j], outs.seeds[j])
             if is_kf:
                 kf_id = frame_id
 
-        if len(buf) == cfg.keyframe_interval:
-            intervals_done += 1
+        if n_full:
+            prev_done = intervals_done
+            intervals_done += n_full
             if ckpt_mgr is not None and \
-                    intervals_done % checkpoint_every == 0:
+                    intervals_done // checkpoint_every > \
+                    prev_done // checkpoint_every:
                 ckpt_mgr.save(frame_id, state,
                               meta={"frame_id": frame_id, "kf_id": kf_id})
 

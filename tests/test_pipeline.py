@@ -108,6 +108,54 @@ def test_trajectory_ate_on_longer_run(tmp_path):
     assert ate < 0.12, f"ATE {ate}"
 
 
+def test_process_intervals_matches_sequential_intervals():
+    """process_intervals (N intervals in one dispatch) must equal calling
+    process_interval N times."""
+    imgs, _ = _make_sequence(17, seed=6)
+    s0 = pipeline.init_pipeline(imgs[0], jax.random.PRNGKey(0), CFG)
+    K = CFG.keyframe_interval
+
+    stacked = jnp.stack(imgs[1:1 + 2 * K]).reshape(2, K, CFG.rows, CFG.cols)
+    s_multi, outs, snaps = pipeline.process_intervals(s0, stacked, CFG)
+    assert snaps is None                       # no loop window by default
+    assert outs.pose_wrt_world.shape == (2, K, 6)
+
+    s_seq = s0
+    seq_outs = []
+    for i in range(2):
+        s_seq, o, _ = pipeline.process_interval(
+            s_seq, stacked[i], CFG)
+        seq_outs.append(np.asarray(o.pose_wrt_world))
+    np.testing.assert_allclose(np.asarray(outs.pose_wrt_world),
+                               np.stack(seq_outs), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s_multi.kf.world_pose),
+                               np.asarray(s_seq.kf.world_pose), atol=2e-4)
+
+
+def test_runner_chunked_dispatch_matches_per_interval(tmp_path):
+    """run_sequence with intervals_per_dispatch > 1 writes the same poses
+    as the per-interval path (including a sub-interval tail)."""
+    imgs, _ = _make_sequence(21, seed=3)
+    src = [np.asarray(i) for i in imgs]
+    r1 = runner.run_sequence(iter(src), CFG, out_dir=str(tmp_path / "a"),
+                             intervals_per_dispatch=1)
+    r4 = runner.run_sequence(iter(src), CFG, out_dir=str(tmp_path / "b"),
+                             intervals_per_dispatch=4)
+    assert list(r1.frame_ids) == list(r4.frame_ids)
+    assert list(r1.kf_ids) == list(r4.kf_ids)
+    np.testing.assert_allclose(r1.world_poses, r4.world_poses, atol=2e-4)
+    p1 = ellc_io.read_pose_file(os.path.join(tmp_path, "a",
+                                             "poses_orig.txt"))
+    p4 = ellc_io.read_pose_file(os.path.join(tmp_path, "b",
+                                             "poses_orig.txt"))
+    assert p1.shape == p4.shape
+    m1 = ellc_io.read_pose_file(os.path.join(tmp_path, "a",
+                                             "matchframes.txt"))
+    m4 = ellc_io.read_pose_file(os.path.join(tmp_path, "b",
+                                             "matchframes.txt"))
+    assert list(m1[:, 0]) == list(m4[:, 0])
+
+
 def test_global_scale_accumulates():
     imgs, _ = _make_sequence(9, seed=6)
     s0 = pipeline.init_pipeline(imgs[0], jax.random.PRNGKey(0), CFG)
