@@ -1,0 +1,99 @@
+"""Generate identical input for the reference binary and this framework.
+
+Renders the synthetic room scene at the reference's capture resolution
+(1920x1080; it resizes by 1/4 to 480x270, ExternVariable.h:41-51) along a
+smooth random trajectory, writes ``%06d.jpg`` frames for the reference's
+``cv::VideoCapture("../data/%06d.jpg")`` ingest (main.cpp:107-108,
+Frame.cpp:34-124), and then replicates the reference's exact preprocessing
+(JPEG decode -> gray -> cv::undistort with the hard-coded model
+(Frame.cpp:57-70, ExternVariable.h:62) -> resize 1/4) to produce the
+480x270 float frames the reference actually tracks.  Those frames are
+saved to ``frames_480x270.npz`` and fed verbatim to this framework, so a
+trajectory diff between the two systems measures algorithmic parity, not
+input-pipeline differences.
+
+Usage: python tools/make_reference_input.py [--frames N] [--out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+# reference intrinsics at capture resolution (ExternVariable.h:53-59 are the
+# /4 values; these are the 1920x1080 originals cited there)
+ORIG_FX = 1642.405612
+ORIG_FY = 1636.148027
+ORIG_CX = 1920 / 2.0
+ORIG_CY = 1080 / 2.0
+DISTORTION = (-0.288283, 0.146546, 0.003800, -0.001690, -0.132134)  # EV:62
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=520)
+    ap.add_argument("--out", default="reference_build/run")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--rot-step", type=float, default=0.0015)
+    ap.add_argument("--trans-step", type=float, default=0.02)
+    args = ap.parse_args()
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from egomotion_with_local_loop_closures_tpu.utils import synthetic
+
+    rows, cols = 1080, 1920
+    scene = synthetic.make_room_scene(seed=args.seed, depth=1.25,
+                                      half_width=1.7, half_height=1.15)
+    poses = synthetic.trajectory(args.frames, seed=args.seed,
+                                 rot_step=args.rot_step,
+                                 trans_step=args.trans_step)
+
+    data_dir = os.path.join(args.out, "data")
+    for sub in ("data", "outputs", "Test_images", "matches", "bin"):
+        os.makedirs(os.path.join(args.out, sub), exist_ok=True)
+
+    render = jax.jit(lambda p: synthetic.render(
+        scene, p, rows, cols, ORIG_FX, ORIG_FY, ORIG_CX, ORIG_CY)[0])
+
+    # the reference's undistortion setup, replicated number-for-number
+    # (Frame.cpp:57-70): intrinsics at the CAPTURE resolution
+    # (ORIG_FX*INTRINSIC_FACTOR, ORIG_CX*DIM_FACTOR)
+    cam_k = np.array([[ORIG_FX, 0, ORIG_CX],
+                      [0, ORIG_FY, ORIG_CY],
+                      [0, 0, 1]], np.float32)
+    dist = np.array(DISTORTION, np.float32)
+    cam_knew = cv2.getOptimalNewCameraMatrix(
+        cam_k, dist, (cols, rows), 0.0)[0]
+
+    small = []
+    for i in range(args.frames):
+        img = np.asarray(render(poses[i]))
+        gray = np.clip(img, 0, 255).astype(np.uint8)
+        path = os.path.join(data_dir, "%06d.jpg" % (i + 1))
+        cv2.imwrite(path, cv2.cvtColor(gray, cv2.COLOR_GRAY2BGR),
+                    [cv2.IMWRITE_JPEG_QUALITY, 97])
+        # replicate the reference ingest from the JPEG just written so both
+        # systems see the same (JPEG-lossy) pixels
+        bgr = cv2.imread(path)
+        g = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY)
+        und = cv2.undistort(g, cam_k, dist, None, cam_knew)
+        sm = cv2.resize(und, None, fx=0.25, fy=0.25,
+                        interpolation=cv2.INTER_LINEAR)
+        small.append(sm)
+        if (i + 1) % 100 == 0:
+            print(f"rendered {i + 1}/{args.frames}", flush=True)
+
+    np.savez_compressed(os.path.join(args.out, "frames_480x270.npz"),
+                        frames=np.stack(small).astype(np.float32),
+                        poses_gt=np.asarray(poses))
+    print("wrote", data_dir, "and frames_480x270.npz")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
