@@ -49,6 +49,18 @@ class ELLCConfig:
     huber_d: float = 3.0             # EV:149 HUBER_D
     camera_pixel_noise_2: float = 16.0  # EV:148 CAMERA_PIXEL_NOISE_2
 
+    # --- TPU warp strategy (no reference analog; see BASELINE.md perf
+    # notes).  XLA gather costs ~8 ns/lookup on TPU, so the tracker's
+    # bilinear warps use the shift-and-blend WindowSampler
+    # (image/interp.py): exact bilinear within a +-D pixel window around
+    # the mean displacement, out-of-window pixels masked from the GN
+    # reductions.  Index = pyramid level (0 finest).  The rematch windows
+    # are wider: loop-closure candidates start from pose-restored
+    # initializations whose residual displacement can be larger.
+    use_window_warp: bool = True
+    warp_window: Tuple[int, int, int, int] = (3, 3, 4, 8)
+    warp_window_rematch: Tuple[int, int, int, int] = (6, 6, 8, 16)
+
     # --- depth-map random init (EV:81-88) -------------------------------
     min_abs_grad_create: float = 1.0     # EV:81
     min_abs_grad_decrease: float = 5.0   # EV:82

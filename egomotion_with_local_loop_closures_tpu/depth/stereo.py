@@ -83,7 +83,7 @@ def epl_direction(kf_image: jnp.ndarray, t_kf_from_cur: jnp.ndarray,
 
 def line_stereo(kf_image: jnp.ndarray,
                 kf_gradx: jnp.ndarray, kf_grady: jnp.ndarray,
-                cur_image: jnp.ndarray,
+                cur_packed: jnp.ndarray,
                 epxn: jnp.ndarray, epyn: jnp.ndarray,
                 min_idepth: jnp.ndarray, prior_idepth: jnp.ndarray,
                 max_idepth: jnp.ndarray,
@@ -91,7 +91,8 @@ def line_stereo(kf_image: jnp.ndarray,
                 cfg: ELLCConfig) -> StereoResult:
     """Dense doLineStereo (DepthPropagation.cpp:397-885) for every pixel.
 
-    All inputs are (H, W) except the pose; gating is the caller's job —
+    All inputs are (H, W) except the pose; ``cur_packed`` is the current
+    image packed by interp.pack_pairs_u16.  Gating is the caller's job —
     every pixel is computed and failures are reported via ``code``.
     """
     H, W = kf_image.shape
@@ -128,11 +129,19 @@ def line_stereo(kf_image: jnp.ndarray,
     code = _set_code(code, oob, -1)               # (:414-421)
     code = _set_code(code, ~((rescale > 0.7) & (rescale < 1.4)), -1)  # (:424)
 
-    # 5-tap descriptor from the KF image (:432-436)
+    # 5-tap descriptor from the KF image (:432-436).  Tap displacements
+    # are bounded by 2*|epl_step|*rescale <= 2.8 px (rescale is gated to
+    # (0.7, 1.4) above), so the taps use the gather-free WindowSampler
+    # (D=4, zero global shift); the centre tap is the image itself.
+    zero = jnp.int32(0)
+
     def kf_sample(j):
-        return interp.bilinear_fill(kf_image, x + j * epxn * rescale,
-                                    y + j * epyn * rescale)
-    real = jnp.stack([kf_sample(j) for j in (-2.0, -1.0, 0.0, 1.0, 2.0)],
+        s = interp.make_window_sampler(x + j * epxn * rescale,
+                                       y + j * epyn * rescale,
+                                       4, H, W, shift_y=zero, shift_x=zero)
+        return interp.window_sample(s, kf_image)
+    real = jnp.stack([kf_sample(-2.0), kf_sample(-1.0), kf_image,
+                      kf_sample(1.0), kf_sample(2.0)],
                      axis=0)                      # (5, H, W) m2..p2
 
     # close / far endpoints in the current image (:438-458)
@@ -225,8 +234,11 @@ def line_stereo(kf_image: jnp.ndarray,
     sy = jnp.where(bad[None], 0.0, sy)
     # one un-batched gather over all (S+4, H, W) coords: XLA's gather
     # batching rule (under vmap) emits a ~200x slower kernel on TPU, so
-    # sample all epipolar steps in a single bilinear call instead
-    samples = interp.bilinear_fill(cur_image, sx, sy)        # (S+4, H, W)
+    # sample all epipolar steps in a single call — and through the
+    # uint16-pair packed image (interp.pack_pairs_u16), which fetches
+    # both x-neighbours per 32-bit word: 2 gathers per sample instead
+    # of 4, halving the hottest gather in the pipeline
+    samples = interp.bilinear_packed_fill(cur_packed, sx, sy)  # (S+4, H, W)
 
     # residuals per step k (0..S-1): e_j(k) = samples[k+2+j] - real[2+j]
     # with j in {-2..2}; ee = sum_j e_j^2
@@ -341,8 +353,11 @@ def line_stereo(kf_image: jnp.ndarray,
     # ---- variance model (:861-878) ----
     photo = 4.0 * cfg.camera_pixel_noise / (g_along + eps)
     track_fac = 0.25
-    gix = interp.bilinear_fill(kf_gradx, x, y)
-    giy = interp.bilinear_fill(kf_grady, x, y)
+    # the reference samples the KF gradients "at" the integer pixel grid
+    # (getInterpolatedElement at integral coords) — that is the gradient
+    # image itself; no gather needed
+    gix = kf_gradx
+    giy = kf_grady
     geo_den = gix * epxn + giy * epyn + eps
     geo = track_fac * track_fac * (gix * gix + giy * giy) / (geo_den * geo_den)
     disc = jnp.where(did_subpixel, 0.05, 0.5) * sample_dist * sample_dist
@@ -399,7 +414,8 @@ def observe(state: DepthMapState,
     prior = jnp.where(has_hyp, state.idepth_smoothed, 1.0)
     max_id = jnp.where(has_hyp, upd_max, 1.0 / cfg.min_depth)
 
-    res = line_stereo(kf_image, kf_gradx, kf_grady, cur_image,
+    res = line_stereo(kf_image, kf_gradx, kf_grady,
+                      interp.pack_pairs_u16(cur_image),
                       epxn, epyn, min_id, prior, max_id,
                       pose_cur_wrt_kf, cfg)
     run = do_pixel & epl_ok

@@ -83,12 +83,19 @@ def make_current_levels(images: Sequence[jnp.ndarray]) -> Tuple[CurrentLevel, ..
 
 def _gn_quantities(kf: KeyframeLevel, cur: CurrentLevel, pose: jnp.ndarray,
                    intr: Tuple[float, float, float, float],
-                   cfg: ELLCConfig, y_offset=0):
+                   cfg: ELLCConfig, y_offset=0, window: int | None = None):
     """One linearization: returns (H 6x6, g 6, energy, valid_count).
 
     ``y_offset`` shifts the pixel-grid row coordinates — used when the
     keyframe template is row-sharded across devices (parallel.sharded):
     each shard linearizes its rows and the 6x6/6 blocks are psummed.
+
+    ``window``: when set, the three warp samples (intensity + gradients)
+    use the shift-and-blend WindowSampler (pure VPU, no gather — see
+    image/interp.py) with this half-width; pixels whose displacement
+    exceeds the window are masked out of the reductions.  When None, the
+    plain XLA-gather bilinear path is used (the sharded row-offset path
+    keeps this, and CPU golden tests can compare both).
     """
     fx, fy, cx, cy = intr
     Hh, Ww = kf.image.shape
@@ -102,9 +109,17 @@ def _gn_quantities(kf: KeyframeLevel, cur: CurrentLevel, pose: jnp.ndarray,
     Pt = jnp.einsum("ij,hwj->hwi", T[:3, :3], P) + T[:3, 3]
     wx, wy, wz = camera.project(Pt, fx, fy, cx, cy, eps=1e-10)
 
-    warped, in_bounds = interp.bilinear(cur.image, wx, wy)
-    gradx = interp.bilinear_fill(cur.gradx, wx, wy)
-    grady = interp.bilinear_fill(cur.grady, wx, wy)
+    if window is None:
+        warped, in_bounds = interp.bilinear(cur.image, wx, wy)
+        gradx = interp.bilinear_fill(cur.gradx, wx, wy)
+        grady = interp.bilinear_fill(cur.grady, wx, wy)
+    else:
+        sampler = interp.make_window_sampler(
+            wx, wy, window, Hh, Ww, valid=mask)
+        warped = interp.window_sample(sampler, cur.image)
+        gradx = interp.window_sample(sampler, cur.gradx)
+        grady = interp.window_sample(sampler, cur.grady)
+        in_bounds = sampler.in_bounds & sampler.in_window
 
     # steepest descent rows (PixelWisePyramid.cpp:296-320), evaluated at
     # the template pixel (u, v) = (x-cx, y-cy) and template depth d
@@ -160,9 +175,17 @@ def weight_image(kf: KeyframeLevel, cur: CurrentLevel, pose: jnp.ndarray,
     P = camera.backproject(x, y, kf.depth, fx, fy, cx, cy)
     Pt = jnp.einsum("ij,hwj->hwi", T[:3, :3], P) + T[:3, 3]
     wx, wy, _ = camera.project(Pt, fx, fy, cx, cy)
-    warped, in_bounds = interp.bilinear(cur.image, wx, wy)
-    gradx = interp.bilinear_fill(cur.gradx, wx, wy)
-    grady = interp.bilinear_fill(cur.grady, wx, wy)
+    if cfg.use_window_warp:
+        sampler = interp.make_window_sampler(
+            wx, wy, cfg.warp_window[level], Hh, Ww, valid=mask)
+        warped = interp.window_sample(sampler, cur.image)
+        gradx = interp.window_sample(sampler, cur.gradx)
+        grady = interp.window_sample(sampler, cur.grady)
+        in_bounds = sampler.in_bounds & sampler.in_window
+    else:
+        warped, in_bounds = interp.bilinear(cur.image, wx, wy)
+        gradx = interp.bilinear_fill(cur.gradx, wx, wy)
+        grady = interp.bilinear_fill(cur.grady, wx, wy)
     residual = jnp.where(in_bounds, warped - kf.image, 0.0)
     px, py, pz = Pt[..., 0], Pt[..., 1], Pt[..., 2]
     inv_d = 1.0 / jnp.where(mask, kf.depth, 1.0)
@@ -221,13 +244,21 @@ def gn_level_const_weight(kf: KeyframeLevel, weights: jnp.ndarray,
     x, y = camera.pixel_grid(Hh, Ww, dtype=kf.image.dtype)
     mask = kf.depth > 0.0
 
+    window = cfg.warp_window_rematch[level] if cfg.use_window_warp else None
+
     def body(carry, _):
         pose, done, wp_last, iters = carry
         T = lie.exp_se3(pose)
         P = camera.backproject(x, y, kf.depth, fx, fy, cx, cy)
         Pt = jnp.einsum("ij,hwj->hwi", T[:3, :3], P) + T[:3, 3]
         wx, wy, _ = camera.project(Pt, fx, fy, cx, cy)
-        warped, in_bounds = interp.bilinear(cur.image, wx, wy)
+        if window is not None:
+            sampler = interp.make_window_sampler(wx, wy, window, Hh, Ww,
+                                                 valid=mask)
+            warped = interp.window_sample(sampler, cur.image)
+            in_bounds = sampler.in_bounds & sampler.in_window
+        else:
+            warped, in_bounds = interp.bilinear(cur.image, wx, wy)
         residual = jnp.where(in_bounds & mask, warped - kf.image, 0.0)
         g = jnp.einsum("hwi,hw->i", J, residual * weights)
         delta = -linear.solve_spd(
@@ -277,10 +308,12 @@ def gn_level(kf: KeyframeLevel, cur: CurrentLevel, pose0: jnp.ndarray,
     early-out-as-freeze-mask.  Returns (pose, weighted_pose, iters_used)."""
     intr = cfg.level_intrinsics(level)
     term_w = jnp.asarray(cfg.termination_weights, dtype=pose0.dtype)
+    window = cfg.warp_window[level] if cfg.use_window_warp else None
 
     def body(carry, _):
         pose, done, wp_last, iters = carry
-        Hmat, g, _, _ = _gn_quantities(kf, cur, pose, intr, cfg)
+        Hmat, g, _, _ = _gn_quantities(kf, cur, pose, intr, cfg,
+                                       window=window)
         delta = -linear.solve_spd(
             Hmat + 1e-12 * jnp.eye(6, dtype=Hmat.dtype), g)
         # near-singular systems yield finite-but-astronomical deltas that
@@ -327,7 +360,8 @@ def align(kf_levels: Tuple[KeyframeLevel, ...],
         wps.append(wp)
         iters_used.append(it)
     H0, g0, energy, valid = _gn_quantities(
-        kf_levels[0], cur_levels[0], pose, cfg.level_intrinsics(0), cfg)
+        kf_levels[0], cur_levels[0], pose, cfg.level_intrinsics(0), cfg,
+        window=cfg.warp_window[0] if cfg.use_window_warp else None)
     del H0, g0
     total = kf_levels[0].image.size
     diag = AlignDiagnostics(

@@ -11,7 +11,7 @@ from egomotion_with_local_loop_closures_tpu.depth import (fusion, propagate,
                                                           state as dstate,
                                                           stereo)
 from egomotion_with_local_loop_closures_tpu.geom import lie
-from egomotion_with_local_loop_closures_tpu.image import pyramid
+from egomotion_with_local_loop_closures_tpu.image import interp, pyramid
 from egomotion_with_local_loop_closures_tpu.utils import synthetic
 
 CFG = ELLCConfig(rows=96, cols=128, fx=110.0, fy=110.0, cx=64.0, cy=48.0)
@@ -45,7 +45,8 @@ def test_line_stereo_triangulates_true_depth():
     gt_id = 1.0 / depth0
     # update-style band around the truth
     sv = 0.15
-    res = stereo.line_stereo(img0, gx, gy, img1, epx, epy,
+    res = stereo.line_stereo(img0, gx, gy, interp.pack_pairs_u16(img1),
+                             epx, epy,
                              jnp.maximum(gt_id - 2 * sv, 0.0), gt_id,
                              jnp.minimum(gt_id + 2 * sv, 1.0 / CFG.min_depth),
                              pose1, CFG)
