@@ -119,8 +119,10 @@ class ELLCConfig:
     border: int = 3                      # EV:156-159 YMIN/XMIN = 3
 
     # --- loop closure (EV:161-171) --------------------------------------
+    # (EV:162's MAX_LOOP_CLOSURE_ARRAY_SIZE=43 is the reference's physical
+    # circular-buffer allocation headroom; the window here is a plain list
+    # capped at loop_window, so no analogous field exists)
     loop_window: int = 20                # EV:161 MAX_LOOP_ARRAY_LENGTH
-    loop_array_size: int = 43            # EV:162 (20*2)+3
     match_threshold: float = 0.1         # EV:163 KL-divergence gate
     min_match_difference: int = 8        # EV:164 (= keyframe_interval)
     max_rel_view_angle: float = 10.0     # EV:165 degrees
@@ -131,6 +133,10 @@ class ELLCConfig:
     # <= min_seeds_for_connection_lost, search the loop window for a
     # re-localization target and adopt its propagated depth map.
     restore_connection: bool = False
+    # Cooldown between accepted matches within one window walk: after a
+    # match, the next min_wait_count candidate slots are skipped
+    # (waitFrameCount, GlobalOptimize.cpp:464-474,536; EV:166 = 0, i.e.
+    # inert by default)
     min_wait_count: int = 0              # EV:166 MIN_WAIT_COUNT
     # Rotation trigger for loop-closure matching (triggerRotation,
     # GlobalOptimize.cpp:671-714; FLAG_USE_LOOP_CLOSURE_TRIGGER): matching

@@ -31,6 +31,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -149,11 +150,17 @@ class LoopCloser:
         self.edges.extend(new_edges)
         return new_edges
 
-    def _candidates(self, entry: LoopEntry) -> List[int]:
-        """Window indices passing all gates, newest -> oldest."""
+    def _candidates(self, entry: LoopEntry):
+        """Window indices passing all gates, walked newest -> oldest, plus
+        the batched gate statistics (KL, view angle) for edge metadata.
+
+        The gates run as ONE batched computation over the whole window;
+        the walk itself (ordering + the min_wait_count cooldown,
+        GlobalOptimize.cpp:464-474) is host-side bookkeeping over the
+        resulting booleans."""
         cfg = self.cfg
         if not self.entries:
-            return []
+            return [], None, None
         hists = jnp.stack([e.hist for e in self.entries])
         # KL(old || current): old histogram is p (GlobalOptimize.cpp:348)
         kls = np.asarray(histogram.kl_divergence_batched(hists, entry.hist))
@@ -161,7 +168,12 @@ class LoopCloser:
         angles = np.asarray(view_angle_deg(
             poses, jnp.broadcast_to(entry.world_pose, poses.shape)))
         out = []
+        wait = 0
         for i in range(len(self.entries) - 1, -1, -1):
+            # cooldown decrements once per walked slot (GO.cpp:469-473)
+            if wait != 0:
+                wait -= 1
+                continue
             e = self.entries[i]
             if entry.frame_id - e.frame_id <= cfg.min_match_difference:
                 continue
@@ -170,32 +182,53 @@ class LoopCloser:
             if angles[i] > cfg.max_rel_view_angle:
                 continue
             out.append(i)
-        return out
+            wait = cfg.min_wait_count       # GO.cpp:536
+        return out, kls, angles
+
+    @staticmethod
+    def _pad_bucket(n: int) -> int:
+        """Pad the candidate batch to a small set of sizes so the batched
+        rematch jit compiles a handful of variants, not one per count."""
+        b = 1
+        while b < n:
+            b *= 2
+        return b
 
     def _find_matches(self, entry: LoopEntry, image: jnp.ndarray
                       ) -> List[LoopEdge]:
         cfg = self.cfg
-        cands = self._candidates(entry)
+        cands, kls, angles = self._candidates(entry)
         if not cands:
             return []
         cur_levels = alignment.make_current_levels(
             pyramid.build_pyramid(image, cfg.num_levels))
+        # ONE batched dispatch for every accepted candidate: stack the
+        # window entries' templates/weights and the per-candidate initial
+        # poses (current world relative to the matched KF's world,
+        # ImageFunc.cpp:97-108 with tminus1 = the frame itself), padded to
+        # a size bucket by repeating the first candidate
+        B = self._pad_bucket(len(cands))
+        padded = cands + [cands[0]] * (B - len(cands))
+        kf_stack = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[self.entries[i].kf_levels
+                                         for i in padded])
+        w_stack = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[self.entries[i].weight_levels
+                                         for i in padded])
+        pose0s = jnp.stack([lie.relative(entry.world_pose,
+                                         self.entries[i].world_pose)
+                            for i in padded])
+        poses, _ = alignment.align_const_weight_batch_jit(
+            kf_stack, w_stack, cur_levels, pose0s, cfg)
+        poses = np.asarray(poses)
         edges = []
-        hists = jnp.stack([e.hist for e in self.entries])
-        kls = np.asarray(histogram.kl_divergence_batched(hists, entry.hist))
-        for i in cands:
+        for k, i in enumerate(cands):
             e = self.entries[i]
-            # initial pose: current world relative to the matched KF's
-            # world (ImageFunc.cpp:97-108 with tminus1 = the frame itself)
-            pose0 = lie.relative(entry.world_pose, e.world_pose)
-            pose, _ = alignment.align_const_weight_jit(
-                e.kf_levels, e.weight_levels, cur_levels, pose0, cfg)
-            ang = float(view_angle_deg(e.world_pose, entry.world_pose))
             edges.append(LoopEdge(
                 frame_id=entry.frame_id, matched_kf_id=e.frame_id,
-                pose_wrt_matched=np.asarray(pose),
+                pose_wrt_matched=poses[k],
                 rescale=e.rescale, seeds=e.seeds,
                 match_value=float(kls[i]),
                 rms_error=rms_rotation_error(entry.world_pose, e.world_pose),
-                view_angle=ang))
+                view_angle=float(angles[i])))
         return edges

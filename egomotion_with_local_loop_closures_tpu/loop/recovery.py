@@ -24,15 +24,18 @@ TPU-native rewrite of the reference's FLAG_RESTORE_CONNECTION mechanism
 
 The reference runs this with deep copies and an imperative retry loop;
 here each candidate trial is a pure function of (window entry, stray
-image), so trials are independent and could be vmapped over the whole
-window at once — the sequential newest-first walk is kept because the
-reference's first-hit semantics are order-dependent.
+image), so ALL trials run as one vmapped dispatch (align + propagate +
+regularize + renormalize + seed count per candidate) and the reference's
+order-dependent first-hit choice (newest first) is a host-side argmax
+over the returned seed percentages — identical selection, one kernel.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,38 +65,72 @@ def check_connection(seeds_percent: float, cfg: ELLCConfig) -> bool:
     return seeds_percent <= cfg.min_seeds_for_connection_lost
 
 
-def find_connection(closer: LoopCloser, frame_id: int,
-                    image: jnp.ndarray, cfg: ELLCConfig
-                    ) -> Optional[Recovery]:
-    """Walk the window newest -> oldest and return the first candidate
-    whose propagated depth map revives tracking, or None."""
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _batched_trials(kf_levels, weight_levels, depth_states, kf_images,
+                    image: jnp.ndarray, cfg: ELLCConfig):
+    """One vmapped dispatch over all candidate trials: const-weight
+    re-alignment from zero init (GlobalOptimize.cpp:850-868), propagation
+    of the candidate's hypotheses into the stray frame, createKeyFrame
+    finalization (DepthPropagation.cpp:1758-1794) and the seed count."""
     cur_levels = alignment.make_current_levels(
         pyramid.build_pyramid(image, cfg.num_levels))
     gx, gy = pyramid.gradients(image)
     maxgrad = pyramid.max_abs_gradient(gx, gy)
 
-    for i in range(len(closer.entries) - 1, -1, -1):
-        e = closer.entries[i]
-        if frame_id - e.frame_id <= cfg.min_match_difference:
-            continue
-        if e.depth_state is None:
-            continue
-        # re-estimate pose from zero init (initial_pose = 0,
-        # GlobalOptimize.cpp:850-868) with the const-weight aligner
-        pose, _ = alignment.align_const_weight_jit(
-            e.kf_levels, e.weight_levels, cur_levels, jnp.zeros(6), cfg)
-        # propagate the candidate's hypotheses into the stray frame and
-        # finalize it like createKeyFrame (DepthPropagation.cpp:1758-1794)
-        st = propagate.propagate(e.depth_state, e.kf_levels[0].image,
-                                 image, maxgrad, pose, cfg)
+    def trial(kf_lv, w_lv, dstate_e, kf_img):
+        pose, _ = alignment.align_const_weight(
+            kf_lv, w_lv, cur_levels, jnp.zeros(6), cfg)
+        st = propagate.propagate(dstate_e, kf_img, image, maxgrad, pose, cfg)
         st = propagate.regularize(st, cfg, remove_occlusions=True)
         st = propagate.do_regularization(st, maxgrad, cfg)
         st, rescale = dstate.make_idepth_one(st)
-        seeds = float(dstate.seeds_percent(st))
-        if check_connection(seeds, cfg):
+        return pose, st, rescale, dstate.seeds_percent(st)
+
+    return jax.vmap(trial)(kf_levels, weight_levels, depth_states, kf_images)
+
+
+def find_connection(closer: LoopCloser, frame_id: int,
+                    image: jnp.ndarray, cfg: ELLCConfig
+                    ) -> Optional[Recovery]:
+    """Trial every eligible window candidate in one batched dispatch and
+    return the NEWEST one whose propagated depth map revives tracking
+    (the reference's first-hit walk, GlobalOptimize.cpp:774-932), or
+    None."""
+    cands = [i for i in range(len(closer.entries) - 1, -1, -1)
+             if frame_id - closer.entries[i].frame_id
+             > cfg.min_match_difference
+             and closer.entries[i].depth_state is not None]
+    if not cands:
+        return None
+
+    # pad to a power-of-two bucket (repeat the first) so the batched jit
+    # compiles a handful of size variants over the 20-entry window
+    B = 1
+    while B < len(cands):
+        B *= 2
+    padded = cands + [cands[0]] * (B - len(cands))
+    ents = [closer.entries[i] for i in padded]
+    kf_stack = jax.tree.map(lambda *xs: jnp.stack(xs),
+                            *[e.kf_levels for e in ents])
+    w_stack = jax.tree.map(lambda *xs: jnp.stack(xs),
+                           *[e.weight_levels for e in ents])
+    d_stack = jax.tree.map(lambda *xs: jnp.stack(xs),
+                           *[e.depth_state for e in ents])
+    img_stack = jnp.stack([e.kf_levels[0].image for e in ents])
+
+    poses, states, rescales, seeds = _batched_trials(
+        kf_stack, w_stack, d_stack, img_stack, image, cfg)
+    seeds = np.asarray(seeds)
+
+    for k, i in enumerate(cands):          # newest -> oldest first hit
+        if check_connection(float(seeds[k]), cfg):
             continue        # still lost; try the next candidate (:902-907)
+        e = closer.entries[i]
+        st = jax.tree.map(lambda a, k=k: a[k], states)
+        pose = poses[k]
         world = lie.compose(pose, e.world_pose)
         return Recovery(matched_kf_id=e.frame_id,
                         pose_wrt_matched=pose, world_pose=world,
-                        depth_state=st, rescale=rescale, seeds=seeds)
+                        depth_state=st, rescale=rescales[k],
+                        seeds=float(seeds[k]))
     return None

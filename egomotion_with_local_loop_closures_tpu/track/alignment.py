@@ -388,3 +388,23 @@ def align_const_weight_jit(kf_levels, weight_levels, cur_levels, pose0,
     window walk and connection recovery)."""
     return align_const_weight(kf_levels, weight_levels, cur_levels, pose0,
                               cfg, max_iters)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_iters"))
+def align_const_weight_batch_jit(kf_levels, weight_levels, cur_levels,
+                                 pose0s, cfg: ELLCConfig,
+                                 max_iters: Tuple[int, ...] | None = None):
+    """All rematch candidates in ONE dispatch: vmap of the constant-weight
+    aligner over stacked keyframe templates/weights/initial poses, the
+    current frame shared.  This is the TPU replacement for the reference's
+    single background thread aligning window candidates one after another
+    (findMatchParallel, GlobalOptimize.cpp:454-646): identical per-level
+    shapes across the window make the candidates a clean batch axis.
+
+    ``kf_levels``/``weight_levels`` are the per-entry tuples stacked along
+    a new leading axis (jax.tree.map(jnp.stack, ...)); ``pose0s`` is
+    (B, 6).  Returns (poses (B, 6), weighted_pose (B,))."""
+    return jax.vmap(
+        lambda k, w, p: align_const_weight(k, w, cur_levels, p, cfg,
+                                           max_iters),
+        in_axes=(0, 0, 0))(kf_levels, weight_levels, pose0s)

@@ -1,7 +1,13 @@
 """Component-wise timing on TPU — all device arrays passed as explicit
-jit arguments (captured device arrays poison the tunnel's async path)."""
+jit arguments (captured device arrays poison the tunnel's async path).
+
+Honest-mode: the tunnel runtime defers execution (block_until_ready
+returns early) until the process performs one device->host read
+(BASELINE.md perf notes), so force that read before any timing."""
 import time
 import jax, jax.numpy as jnp
+
+_ = float(jnp.asarray(1.0) + 1.0)   # force honest synchronous mode
 
 from egomotion_with_local_loop_closures_tpu.config import ELLCConfig
 from egomotion_with_local_loop_closures_tpu.runtime import pipeline
