@@ -122,10 +122,15 @@ def main() -> int:
     _ = np.asarray(outs.pose_wrt_world)      # real read: warmup + sync
 
     passes = int(os.environ.get("BENCH_PASSES", "2"))
-    st = state0
     n_frames = 0
     t0 = time.perf_counter()
     for _ in range(passes):
+        # restart from the init state each pass so every timed interval
+        # exercises steady-state tracking (replaying frame 1 against
+        # end-of-sequence state would spend the pass in the recovery
+        # regime; compute is fixed-shape either way, but steady state is
+        # the honest workload)
+        st = state0
         for i in range(n_intervals):
             st, outs, _ = step_at(st, frames, jnp.int32(1 + i * K), cfg)
             n_frames += K
@@ -140,6 +145,12 @@ def main() -> int:
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline, 3),
+        # provenance: the baseline is the unmodified 6-thread reference
+        # C++ binary measured on THIS machine's 2 vCPUs (thread-starved;
+        # see reference_build/reference_fps.json) — the ratio therefore
+        # mixes algorithm/hardware wins with baseline CPU starvation
+        "baseline_fps": round(baseline, 2),
+        "baseline_note": "reference C++ binary, 6 threads on 2 vCPUs",
     }))
     return 0
 

@@ -87,6 +87,23 @@ class ELLCConfig:
     # plus one-sample extensions on both ends (DepthPropagation.cpp:479-505
     # and :628); 34 covers 30 + 2 + padding at GRADIENT_SAMPLE_DIST=1.
     stereo_max_steps: int = 36
+    # --- TPU stereo layout (no reference analog; BASELINE.md perf notes).
+    # The epipolar walk is gather-bound (~7.2 ns/lookup for any gather
+    # formulation, tools/probe_gather.py), and only ~26% of pixels pass
+    # the observation gates on average, so the walk runs compacted: the
+    # gated pixels are packed to a fixed capacity of
+    # stereo_compact_frac * H * W slots (0 = dense golden path).  Frames
+    # whose gated-pixel count exceeds the capacity drop the excess
+    # uniformly over the image (they retry next frame; count surfaced in
+    # ObserveResult.num_overflow).  stereo_pack_u8 fetches the whole 2x2
+    # bilinear corner block in ONE 8-bit-quantized gather instead of two
+    # 16-bit-pair gathers: 2x fewer lookups, <=0.5 intensity quantization
+    # (vs camera pixel noise sigma=4).
+    # Both defaults validated end-to-end on the 519-frame identical-input
+    # parity run vs the reference binary (BASELINE.md parity table):
+    # RPE-8f max 3.3 deg, sim3 ATE 0.044 — better than the dense u16 run.
+    stereo_compact_frac: float = 0.4
+    stereo_pack_u8: bool = True
 
     # --- depth filter / EKF (EV:120-143) --------------------------------
     camera_pixel_noise: float = 16.0     # EV:120 (4*4)

@@ -6,11 +6,32 @@ TPU-native rewrite of the reference's hottest code path:
 (``src/DepthPropagation.cpp:191-999``).  The reference walks a
 data-dependent number of steps along each pixel's epipolar segment on 3
 CPU threads; here every pixel's search is a fixed ``S``-step vectorized
-scan (steps past the segment end masked off), so the whole image is one
-(H, W, S) tensor computation: 5-tap SSD via shifted samples, masked
-argmin, subpixel parabola, and the LSD-SLAM geometric+photometric
-variance model, followed by the per-pixel EKF create/update rules as
-dense selects.
+scan (steps past the segment end masked off): 5-tap SSD via sampled
+points, masked argmin, subpixel parabola, and the LSD-SLAM
+geometric+photometric variance model, followed by the per-pixel EKF
+create/update rules as dense selects.
+
+The sampling walk is gather-bound (~7.2 ns/lookup on this chip for ANY
+gather formulation — tools/probe_gather.py), so the kernel runs in one of
+two layouts chosen by ``cfg.stereo_compact_frac``:
+
+  * dense: every (H, W) pixel walks all S steps (golden path, used by the
+    equality tests);
+  * compacted: only the pixels that actually pass the observation gates
+    (typically ~26% of the image; DepthPropagation.cpp:224-235 gates) are
+    packed into a fixed-capacity index vector with ``jnp.nonzero`` and
+    ONLY those walk the epipolar segment — the gather count drops by the
+    same factor.  A fixed pseudo-random permutation interleaves the scan
+    order so that, on the rare frames where more pixels pass the gates
+    than the capacity holds, the overflow drop is spatially uniform
+    instead of censoring the bottom of the image (the reference processes
+    every pixel every frame; dropped pixels here simply retry next frame,
+    and the drop count is surfaced in ObserveResult.num_overflow).
+
+Sampling fetches both x-interpolation neighbours per 32-bit word
+(interp.pack_pairs_u16, 2 gathers per sample) or the whole 2x2 corner
+block 8-bit-quantized (interp.pack_quad_u8, 1 gather per sample) when
+``cfg.stereo_pack_u8`` is set.
 
 Error codes match the reference (DepthPropagation.cpp:395-396):
   0 success, -1 out-of-bounds, -2 not-found/ambiguous/negative-depth,
@@ -39,10 +60,10 @@ from egomotion_with_local_loop_closures_tpu.image import interp
 
 
 class StereoResult(NamedTuple):
-    code: jnp.ndarray       # (H, W) int32 error code (0 = success)
-    idepth: jnp.ndarray     # (H, W) triangulated inverse depth (KF frame)
-    var: jnp.ndarray        # (H, W) observation variance
-    err: jnp.ndarray        # (H, W) best SSD error
+    code: jnp.ndarray       # int32 error code (0 = success)
+    idepth: jnp.ndarray     # triangulated inverse depth (KF frame)
+    var: jnp.ndarray        # observation variance
+    err: jnp.ndarray        # best SSD error
 
 
 def _set_code(code: jnp.ndarray, cond: jnp.ndarray, val: int) -> jnp.ndarray:
@@ -81,43 +102,52 @@ def epl_direction(kf_image: jnp.ndarray, t_kf_from_cur: jnp.ndarray,
     return epx * fac, epy * fac, ok
 
 
-def line_stereo(kf_image: jnp.ndarray,
-                kf_gradx: jnp.ndarray, kf_grady: jnp.ndarray,
-                cur_packed: jnp.ndarray,
-                epxn: jnp.ndarray, epyn: jnp.ndarray,
-                min_idepth: jnp.ndarray, prior_idepth: jnp.ndarray,
-                max_idepth: jnp.ndarray,
-                pose_cur_wrt_kf: jnp.ndarray,
-                cfg: ELLCConfig) -> StereoResult:
-    """Dense doLineStereo (DepthPropagation.cpp:397-885) for every pixel.
-
-    All inputs are (H, W) except the pose; ``cur_packed`` is the current
-    image packed by interp.pack_pairs_u16.  Gating is the caller's job —
-    every pixel is computed and failures are reported via ``code``.
-    """
-    H, W = kf_image.shape
-    S = cfg.stereo_max_steps
-    fx, fy, cx, cy = cfg.fx, cfg.fy, cfg.cx, cfg.cy
-    eps = cfg.division_eps
-
+def _pose_blocks(pose_cur_wrt_kf: jnp.ndarray, cfg: ELLCConfig):
     T = lie.exp_se3(pose_cur_wrt_kf)
     R, t = T[:3, :3], T[:3, 3]                    # cur <- kf
-    K = camera.intrinsics_matrix(fx, fy, cx, cy)
-    KR = K @ R
-    Kt = K @ t
+    K = camera.intrinsics_matrix(cfg.fx, cfg.fy, cfg.cx, cfg.cy)
+    return R, t, K @ R, K @ t
 
-    x, y = camera.pixel_grid(H, W)
-    code = jnp.zeros((H, W), jnp.int32)
 
-    # KinvP and the infinity point in the current image (:401-403)
-    kx = (x - cx) / fx
-    ky = (y - cy) / fy
+def _pinf_rescale(x, y, prior_idepth, KR, Kt, cfg):
+    """The infinity point of each pixel's ray in the current image and
+    the reference's 'rescale' (doLineStereo :401-405)."""
+    kx = (x - cfg.cx) / cfg.fx
+    ky = (y - cfg.cy) / cfg.fy
     pinf = jnp.stack([KR[0, 0] * kx + KR[0, 1] * ky + KR[0, 2],
                       KR[1, 0] * kx + KR[1, 1] * ky + KR[1, 2],
                       KR[2, 0] * kx + KR[2, 1] * ky + KR[2, 2]], axis=0)
-    prior_safe = jnp.where(jnp.abs(prior_idepth) > 1e-12, prior_idepth, 1e-12)
+    prior_safe = jnp.where(jnp.abs(prior_idepth) > 1e-12, prior_idepth,
+                           1e-12)
     preal_z = pinf[2] / prior_safe + Kt[2]
     rescale = preal_z * prior_idepth              # (:405)
+    return kx, ky, pinf, rescale
+
+
+def _sample(cur_packed: jnp.ndarray, sx, sy, u8: bool):
+    if u8:
+        return interp.bilinear_quad_fill(cur_packed, sx, sy)
+    return interp.bilinear_packed_fill(cur_packed, sx, sy)
+
+
+def _stereo_core(x, y, real, epxn, epyn,
+                 min_idepth, prior_idepth, max_idepth,
+                 gix, giy, cur_packed, pose_cur_wrt_kf,
+                 H: int, W: int, cfg: ELLCConfig) -> StereoResult:
+    """doLineStereo (DepthPropagation.cpp:397-885), shape-generic: all
+    per-pixel inputs share an arbitrary leading shape P (the full (H, W)
+    grid on the dense path, a compacted (CAP,) vector otherwise);
+    ``real`` is the 5-tap KF descriptor with shape (5,) + P;
+    ``cur_packed`` stays the full (H, W) packed current image."""
+    S = cfg.stereo_max_steps
+    fx, fy, cx, cy = cfg.fx, cfg.fy, cfg.cx, cfg.cy
+    eps = cfg.division_eps
+    P = x.shape
+
+    R, t, KR, Kt = _pose_blocks(pose_cur_wrt_kf, cfg)
+    code = jnp.zeros(P, jnp.int32)
+
+    kx, ky, pinf, rescale = _pinf_rescale(x, y, prior_idepth, KR, Kt, cfg)
 
     first_x = x - 2.0 * epxn * rescale
     first_y = y - 2.0 * epyn * rescale
@@ -129,31 +159,17 @@ def line_stereo(kf_image: jnp.ndarray,
     code = _set_code(code, oob, -1)               # (:414-421)
     code = _set_code(code, ~((rescale > 0.7) & (rescale < 1.4)), -1)  # (:424)
 
-    # 5-tap descriptor from the KF image (:432-436).  Tap displacements
-    # are bounded by 2*|epl_step|*rescale <= 2.8 px (rescale is gated to
-    # (0.7, 1.4) above), so the taps use the gather-free WindowSampler
-    # (D=4, zero global shift); the centre tap is the image itself.
-    zero = jnp.int32(0)
-
-    def kf_sample(j):
-        s = interp.make_window_sampler(x + j * epxn * rescale,
-                                       y + j * epyn * rescale,
-                                       4, H, W, shift_y=zero, shift_x=zero)
-        return interp.window_sample(s, kf_image)
-    real = jnp.stack([kf_sample(-2.0), kf_sample(-1.0), kf_image,
-                      kf_sample(1.0), kf_sample(2.0)],
-                     axis=0)                      # (5, H, W) m2..p2
-
     # close / far endpoints in the current image (:438-458)
-    pclose = pinf + Kt[:, None, None] * max_idepth
+    kt = Kt.reshape((3,) + (1,) * len(P))
+    pclose = pinf + kt * max_idepth
     fix = pclose[2] < 0.001
     max_id2 = jnp.where(fix, (0.001 - pinf[2]) / jnp.where(
         jnp.abs(Kt[2]) > 1e-12, Kt[2], 1e-12), max_idepth)
-    pclose = pinf + Kt[:, None, None] * max_id2
+    pclose = pinf + kt * max_id2
     pclose_z = jnp.where(jnp.abs(pclose[2]) > 1e-12, pclose[2], 1e-12)
     pclose = pclose / pclose_z
 
-    pfar = pinf + Kt[:, None, None] * min_idepth
+    pfar = pinf + kt * min_idepth
     code = _set_code(code, (pfar[2] < 0.001) | (max_id2 < min_idepth), -1)
     pfar_z = jnp.where(jnp.abs(pfar[2]) > 1e-12, pfar[2], 1e-12)
     pfar = pfar / pfar_z
@@ -168,9 +184,11 @@ def line_stereo(kf_image: jnp.ndarray,
     # crop to MAX_EPL_LENGTH_CROP (:479-483)
     crop = epl_len > cfg.max_epl_length_crop
     safe_len = jnp.where(epl_len > 0, epl_len, 1.0)
-    pclose_x = jnp.where(crop, pfar[0] + incx * cfg.max_epl_length_crop / safe_len,
+    pclose_x = jnp.where(crop,
+                         pfar[0] + incx * cfg.max_epl_length_crop / safe_len,
                          pclose[0])
-    pclose_y = jnp.where(crop, pfar[1] + incy * cfg.max_epl_length_crop / safe_len,
+    pclose_y = jnp.where(crop,
+                         pfar[1] + incy * cfg.max_epl_length_crop / safe_len,
                          pclose[1])
     incx = incx * cfg.gradient_sample_dist / safe_len
     incy = incy * cfg.gradient_sample_dist / safe_len
@@ -195,12 +213,6 @@ def line_stereo(kf_image: jnp.ndarray,
 
     # near point outside -> clamp along the line, in the reference's exact
     # order: x-low / x-high then y-low / y-high on updated values (:519-549)
-    def clamp_axis(px, py, lo_cond, hi_cond, lo_target, hi_target, inc_axis):
-        inc_safe = jnp.where(jnp.abs(inc_axis) > 1e-12, inc_axis, 1e-12)
-        to_add = jnp.where(lo_cond, (lo_target - px) / inc_safe,
-                           jnp.where(hi_cond, (hi_target - px) / inc_safe, 0.0))
-        return px + to_add * incx, py + to_add * incy, to_add
-
     lo_x = pclose_x <= b
     hi_x = pclose_x >= W - b
     inc_safe_x = jnp.where(jnp.abs(incx) > 1e-12, incx, 1e-12)
@@ -225,57 +237,59 @@ def line_stereo(kf_image: jnp.ndarray,
 
     # ---- fixed-trip epipolar walk (:611-710) ----
     # sample current image at pFar + o*inc for o in [-2, S+1]
-    offs = jnp.arange(-2, S + 2, dtype=kf_image.dtype)      # (S+4,)
-    sx = pfar_x[None] + offs[:, None, None] * incx[None]     # (S+4, H, W)
-    sy = pfar_y[None] + offs[:, None, None] * incy[None]
+    offs = jnp.arange(-2, S + 2, dtype=x.dtype)             # (S+4,)
+    offs = offs.reshape((S + 4,) + (1,) * len(P))
+    sx = pfar_x[None] + offs * incx[None]                    # (S+4,) + P
+    sy = pfar_y[None] + offs * incy[None]
     # NaN coords (failed pixels) would poison gather indices: zero them.
     bad = code != 0
     sx = jnp.where(bad[None], 0.0, sx)
     sy = jnp.where(bad[None], 0.0, sy)
-    # one un-batched gather over all (S+4, H, W) coords: XLA's gather
+    # one un-batched sampling call over all (S+4,)+P coords: XLA's gather
     # batching rule (under vmap) emits a ~200x slower kernel on TPU, so
-    # sample all epipolar steps in a single call — and through the
-    # uint16-pair packed image (interp.pack_pairs_u16), which fetches
-    # both x-neighbours per 32-bit word: 2 gathers per sample instead
-    # of 4, halving the hottest gather in the pipeline
-    samples = interp.bilinear_packed_fill(cur_packed, sx, sy)  # (S+4, H, W)
+    # sample all epipolar steps in a single call — through the packed
+    # current image (2 gathers per sample u16-pairs, 1 with u8-quads)
+    samples = _sample(cur_packed, sx, sy, cfg.stereo_pack_u8)
 
     # residuals per step k (0..S-1): e_j(k) = samples[k+2+j] - real[2+j]
     # with j in {-2..2}; ee = sum_j e_j^2
     e = jnp.stack([samples[j:j + S] - real[j][None] for j in range(5)],
-                  axis=0)                                    # (5, S, H, W)
-    ee = jnp.sum(e * e, axis=0)                              # (S, H, W)
+                  axis=0)                                    # (5, S) + P
+    ee = jnp.sum(e * e, axis=0)                              # (S,) + P
     # cross-correlation with previous step for subpixel (:670,684)
-    ecorr = jnp.sum(e[:, 1:] * e[:, :-1], axis=0)            # (S-1, H, W)
-    ecorr = jnp.concatenate([jnp.full((1, H, W), jnp.nan, ee.dtype), ecorr],
-                            axis=0)                          # ecorr[k]=sum e(k)e(k-1)
+    ecorr = jnp.sum(e[:, 1:] * e[:, :-1], axis=0)            # (S-1,) + P
+    ecorr = jnp.concatenate(
+        [jnp.full((1,) + P, jnp.nan, ee.dtype), ecorr],
+        axis=0)                          # ecorr[k] = sum e(k) e(k-1)
 
     # step validity: the while-loop condition (:628), cumulative
-    ks = jnp.arange(S, dtype=kf_image.dtype)
-    posx = pfar_x[None] + ks[:, None, None] * incx[None]
-    posy = pfar_y[None] + ks[:, None, None] * incy[None]
+    ks = jnp.arange(S, dtype=x.dtype).reshape((S,) + (1,) * len(P))
+    posx = pfar_x[None] + ks * incx[None]
+    posy = pfar_y[None] + ks * incy[None]
     cond = (((incx[None] < 0) == (posx > pclose_x[None]))
             & ((incy[None] < 0) == (posy > pclose_y[None])))
     cond = cond.at[0].set(True)
     step_valid = jnp.cumprod(cond.astype(jnp.int32), axis=0).astype(bool)
 
     ee_masked = jnp.where(step_valid, ee, jnp.inf)
-    kbest = jnp.argmin(ee_masked, axis=0)                    # (H, W)
+    kbest = jnp.argmin(ee_masked, axis=0)                    # P
     best = jnp.take_along_axis(ee_masked, kbest[None], axis=0)[0]
     # second best among k != kbest
-    ee2 = jnp.where(jnp.arange(S)[:, None, None] == kbest[None], jnp.inf,
-                    ee_masked)
+    karange = jnp.arange(S).reshape((S,) + (1,) * len(P))
+    ee2 = jnp.where(karange == kbest[None], jnp.inf, ee_masked)
     ksecond = jnp.argmin(ee2, axis=0)
     second = jnp.take_along_axis(ee2, ksecond[None], axis=0)[0]
 
     num_steps = jnp.sum(step_valid, axis=0)
     err_pre = jnp.where(kbest >= 1,
-                        jnp.take_along_axis(ee, jnp.maximum(kbest - 1, 0)[None],
-                                            axis=0)[0], -1.0)
+                        jnp.take_along_axis(
+                            ee, jnp.maximum(kbest - 1, 0)[None],
+                            axis=0)[0], -1.0)
     has_post = (kbest + 1) < num_steps
     err_post = jnp.where(has_post,
-                         jnp.take_along_axis(ee, jnp.minimum(kbest + 1, S - 1)[None],
-                                             axis=0)[0], -1.0)
+                         jnp.take_along_axis(
+                             ee, jnp.minimum(kbest + 1, S - 1)[None],
+                             axis=0)[0], -1.0)
     diff_pre = jnp.take_along_axis(ecorr, kbest[None], axis=0)[0]
     diff_post = jnp.take_along_axis(ecorr, jnp.minimum(kbest + 1, S - 1)[None],
                                     axis=0)[0]
@@ -301,8 +315,8 @@ def line_stereo(kf_image: jnp.ndarray,
     d_post = grad_post_this / jnp.where(
         jnp.abs(grad_post_this - grad_post_post) > 1e-12,
         grad_post_this - grad_post_post, 1e-12)
-    best_x = pfar_x + kbest.astype(kf_image.dtype) * incx
-    best_y = pfar_y + kbest.astype(kf_image.dtype) * incy
+    best_x = pfar_x + kbest.astype(x.dtype) * incx
+    best_y = pfar_y + kbest.astype(x.dtype) * incy
     best_x = jnp.where(interp_pre, best_x - d_pre * incx,
                        jnp.where(interp_post, best_x + d_post * incx, best_x))
     best_y = jnp.where(interp_pre, best_y - d_pre * incy,
@@ -345,31 +359,150 @@ def line_stereo(kf_image: jnp.ndarray,
     idepth = jnp.where(use_x, idepth_x, idepth_y)
     # NOTE: the reference uses ORIG_FX_INV in BOTH branches (:839 and :851,
     # the y-branch arguably should use 1/fy); replicated as-is for parity.
-    alpha_x = incx * (1.0 / fx) * (dot0 * t[2] - dot2 * t[0]) / (nom_safe * nom_safe)
-    alpha_y = incy * (1.0 / fx) * (dot1 * t[2] - dot2 * t[1]) / (nom_safe * nom_safe)
+    alpha_x = incx * (1.0 / fx) * (dot0 * t[2] - dot2 * t[0]) / (
+        nom_safe * nom_safe)
+    alpha_y = incy * (1.0 / fx) * (dot1 * t[2] - dot2 * t[1]) / (
+        nom_safe * nom_safe)
     alpha = jnp.where(use_x, alpha_x, alpha_y)
     code = _set_code(code, idepth < 0, -2)                          # (:856)
 
     # ---- variance model (:861-878) ----
     photo = 4.0 * cfg.camera_pixel_noise / (g_along + eps)
     track_fac = 0.25
-    # the reference samples the KF gradients "at" the integer pixel grid
-    # (getInterpolatedElement at integral coords) — that is the gradient
-    # image itself; no gather needed
-    gix = kf_gradx
-    giy = kf_grady
     geo_den = gix * epxn + giy * epyn + eps
-    geo = track_fac * track_fac * (gix * gix + giy * giy) / (geo_den * geo_den)
+    geo = track_fac * track_fac * (gix * gix + giy * giy) / (
+        geo_den * geo_den)
     disc = jnp.where(did_subpixel, 0.05, 0.5) * sample_dist * sample_dist
     var = alpha * alpha * (disc + geo + photo)
 
     return StereoResult(code=code, idepth=idepth, var=var, err=best)
 
 
+def _kf_descriptor(kf_image: jnp.ndarray, epxn, epyn, rescale,
+                   H: int, W: int) -> jnp.ndarray:
+    """5-tap descriptor from the KF image (:432-436).  Tap displacements
+    are bounded by 2*|epl_step|*rescale <= 2.8 px (rescale is gated to
+    (0.7, 1.4)), so the taps use the gather-free WindowSampler (D=4,
+    zero global shift); the centre tap is the image itself."""
+    x, y = camera.pixel_grid(H, W)
+    zero = jnp.int32(0)
+
+    def kf_sample(j):
+        s = interp.make_window_sampler(x + j * epxn * rescale,
+                                       y + j * epyn * rescale,
+                                       4, H, W, shift_y=zero, shift_x=zero)
+        return interp.window_sample(s, kf_image)
+    return jnp.stack([kf_sample(-2.0), kf_sample(-1.0), kf_image,
+                      kf_sample(1.0), kf_sample(2.0)],
+                     axis=0)                      # (5, H, W) m2..p2
+
+
+def line_stereo(kf_image: jnp.ndarray,
+                kf_gradx: jnp.ndarray, kf_grady: jnp.ndarray,
+                cur_packed: jnp.ndarray,
+                epxn: jnp.ndarray, epyn: jnp.ndarray,
+                min_idepth: jnp.ndarray, prior_idepth: jnp.ndarray,
+                max_idepth: jnp.ndarray,
+                pose_cur_wrt_kf: jnp.ndarray,
+                cfg: ELLCConfig) -> StereoResult:
+    """Dense doLineStereo (DepthPropagation.cpp:397-885) for every pixel.
+
+    All inputs are (H, W) except the pose; ``cur_packed`` is the current
+    image packed by interp.pack_pairs_u16 (or pack_quad_u8 when
+    cfg.stereo_pack_u8).  Gating is the caller's job — every pixel is
+    computed and failures are reported via ``code``.
+    """
+    H, W = kf_image.shape
+    x, y = camera.pixel_grid(H, W)
+    _, _, KR, Kt = _pose_blocks(pose_cur_wrt_kf, cfg)
+    _, _, _, rescale = _pinf_rescale(x, y, prior_idepth, KR, Kt, cfg)
+    real = _kf_descriptor(kf_image, epxn, epyn, rescale, H, W)
+    return _stereo_core(x, y, real, epxn, epyn,
+                        min_idepth, prior_idepth, max_idepth,
+                        kf_gradx, kf_grady, cur_packed, pose_cur_wrt_kf,
+                        H, W, cfg)
+
+
+def _interleave_perm(n: int) -> jnp.ndarray:
+    """A fixed golden-ratio stride permutation of range(n): consecutive
+    scan positions land ~0.618*n apart, so truncating the compacted index
+    list drops pixels uniformly over the image instead of censoring the
+    last rows."""
+    import numpy as np
+    stride = int(round(n * 0.6180339887498949))
+    while np.gcd(stride, n) != 1:
+        stride += 1
+    return jnp.asarray((np.arange(n, dtype=np.int64) * stride) % n,
+                       jnp.int32)
+
+
+def line_stereo_compact(run: jnp.ndarray,
+                        kf_image: jnp.ndarray,
+                        kf_gradx: jnp.ndarray, kf_grady: jnp.ndarray,
+                        cur_packed: jnp.ndarray,
+                        epxn: jnp.ndarray, epyn: jnp.ndarray,
+                        min_idepth: jnp.ndarray, prior_idepth: jnp.ndarray,
+                        max_idepth: jnp.ndarray,
+                        pose_cur_wrt_kf: jnp.ndarray,
+                        cfg: ELLCConfig
+                        ) -> Tuple[StereoResult, jnp.ndarray]:
+    """Seed-compacted doLineStereo: only pixels with ``run`` True walk the
+    epipolar segment.  Returns (dense StereoResult, overflow count).
+
+    Pixels NOT in ``run`` (and overflow pixels beyond the capacity)
+    report code -5 / zeros — the caller's gating ignores them, and
+    overflow pixels simply retry next frame.  Wherever ``run`` holds and
+    capacity suffices the result is IDENTICAL to line_stereo (the
+    computation is elementwise per pixel; tests assert equality).
+    """
+    H, W = kf_image.shape
+    HW = H * W
+    cap = int(round(cfg.stereo_compact_frac * HW))
+
+    x, y = camera.pixel_grid(H, W)
+    _, _, KR, Kt = _pose_blocks(pose_cur_wrt_kf, cfg)
+    _, _, _, rescale = _pinf_rescale(x, y, prior_idepth, KR, Kt, cfg)
+    real = _kf_descriptor(kf_image, epxn, epyn, rescale, H, W)
+
+    perm = _interleave_perm(HW)
+    run_p = run.ravel()[perm]
+    (pos,) = jnp.nonzero(run_p, size=cap, fill_value=HW)
+    n_run = jnp.sum(run)
+    overflow = jnp.maximum(n_run - cap, 0)
+    slot_ok = pos < HW
+    idx = jnp.take(perm, jnp.minimum(pos, HW - 1))   # flat pixel index
+    idx = jnp.where(slot_ok, idx, HW)                # HW = scatter-drop
+
+    gi = jnp.minimum(idx, HW - 1)
+
+    def g(a):
+        return jnp.take(a.reshape(a.shape[:-2] + (HW,)), gi, axis=-1)
+
+    xc = (gi % W).astype(x.dtype)
+    yc = (gi // W).astype(x.dtype)
+    res = _stereo_core(
+        xc, yc, g(real), g(epxn), g(epyn),
+        g(min_idepth), g(prior_idepth), g(max_idepth),
+        g(kf_gradx), g(kf_grady), cur_packed, pose_cur_wrt_kf,
+        H, W, cfg)
+
+    def scatter(v, default, dtype):
+        out = jnp.full((HW,), default, dtype)
+        return out.at[idx].set(v.astype(dtype), mode="drop").reshape(H, W)
+
+    dense = StereoResult(
+        code=scatter(res.code, -5, jnp.int32),
+        idepth=scatter(res.idepth, 0.0, jnp.float32),
+        var=scatter(res.var, 0.0, jnp.float32),
+        err=scatter(res.err, 0.0, jnp.float32))
+    return dense, overflow
+
+
 class ObserveResult(NamedTuple):
     state: DepthMapState
     num_created: jnp.ndarray
     num_updated: jnp.ndarray
+    num_overflow: jnp.ndarray
 
 
 def observe(state: DepthMapState,
@@ -403,6 +536,7 @@ def observe(state: DepthMapState,
     T = lie.exp_se3(pose_cur_wrt_kf)
     t_kf_from_cur = -T[:3, :3].T @ T[:3, 3]
     epxn, epyn, epl_ok = epl_direction(kf_image, t_kf_from_cur, cfg)
+    run = do_pixel & epl_ok
 
     # stereo search band (create: :279-282; update: :898-904)
     sv = jnp.sqrt(jnp.maximum(state.var_smoothed, 0.0))
@@ -414,11 +548,17 @@ def observe(state: DepthMapState,
     prior = jnp.where(has_hyp, state.idepth_smoothed, 1.0)
     max_id = jnp.where(has_hyp, upd_max, 1.0 / cfg.min_depth)
 
-    res = line_stereo(kf_image, kf_gradx, kf_grady,
-                      interp.pack_pairs_u16(cur_image),
-                      epxn, epyn, min_id, prior, max_id,
-                      pose_cur_wrt_kf, cfg)
-    run = do_pixel & epl_ok
+    packed = interp.pack_quad_u8(cur_image) if cfg.stereo_pack_u8 \
+        else interp.pack_pairs_u16(cur_image)
+    if cfg.stereo_compact_frac > 0.0:
+        res, overflow = line_stereo_compact(
+            run, kf_image, kf_gradx, kf_grady, packed,
+            epxn, epyn, min_id, prior, max_id, pose_cur_wrt_kf, cfg)
+    else:
+        res = line_stereo(kf_image, kf_gradx, kf_grady, packed,
+                          epxn, epyn, min_id, prior, max_id,
+                          pose_cur_wrt_kf, cfg)
+        overflow = jnp.asarray(0, jnp.int32)
 
     # ---------------- CREATE path (:267-308) ----------------
     create_px = run & ~has_hyp
@@ -486,4 +626,5 @@ def observe(state: DepthMapState,
                         validity=validity, blacklisted=blk, valid=valid)
     return ObserveResult(state=out,
                          num_created=jnp.sum(create_ok),
-                         num_updated=jnp.sum(u_success))
+                         num_updated=jnp.sum(u_success),
+                         num_overflow=overflow)

@@ -70,13 +70,16 @@ def pack_pairs_u16(img: jnp.ndarray) -> jnp.ndarray:
     """Pack horizontally adjacent pixel pairs (img[y,x], img[y,x+1]) into
     one uint32 word as 16-bit fixed point (x64 scale).
 
-    TPU rationale: XLA gather costs ~8 ns per fetched element regardless
+    TPU rationale: XLA gather costs ~7-8 ns per fetched element regardless
     of width (BASELINE.md perf notes), so fetching both x-interpolation
     neighbours in ONE 32-bit word halves the dominant cost of the
-    epipolar line-stereo sampling.  Intensities are 0..255 (uint8 video
-    and its pyramid averages), so x64 fixed point is exact to 1/64
-    intensity — tighter than the fp32 rounding of the accumulated
-    pyramids themselves.
+    epipolar line-stereo sampling.  Precision: exact for integer-valued
+    images (raw uint8 video); for non-integer intensities (undistorted /
+    resized / pyramid-averaged frames) the quantization error is at most
+    1/128 per corner — three orders of magnitude below the pipeline's
+    camera_pixel_noise (sigma = 4 intensity units, EV:148), but NOT below
+    fp32 ulp, so bit-exactness against the unpacked path only holds for
+    integer inputs.
     """
     q = jnp.clip(jnp.round(img * PACK_SCALE), 0.0, 65535.0).astype(jnp.uint32)
     nxt = jnp.pad(q[:, 1:], ((0, 0), (0, 1)))
@@ -118,6 +121,71 @@ def bilinear_packed_fill(packed: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
     v10, v11 = b_lo, jnp.where(x_under, b_lo, b_hi)
     # per-corner zero-fill from the UNclipped coordinates; x1 = ceil(x)
     # (== x0 for integral coords, where wx = 0 makes the x1 term vanish)
+    x1 = jnp.ceil(x)
+    y1 = jnp.ceil(y)
+    x0_in = (x0 >= 0) & (x0 <= W - 1)
+    x1_in = (x1 >= 0) & (x1 <= W - 1)
+    y0_in = (y0 >= 0) & (y0 <= H - 1)
+    y1_in = (y1 >= 0) & (y1 <= H - 1)
+    v00 = jnp.where(x0_in & y0_in, v00, 0.0)
+    v01 = jnp.where(x1_in & y0_in, v01, 0.0)
+    v10 = jnp.where(x0_in & y1_in, v10, 0.0)
+    v11 = jnp.where(x1_in & y1_in, v11, 0.0)
+    top_v = (1.0 - wx) * v00 + wx * v01
+    bot_v = (1.0 - wx) * v10 + wx * v11
+    return (1.0 - wy) * top_v + wy * bot_v
+
+
+def pack_quad_u8(img: jnp.ndarray) -> jnp.ndarray:
+    """Pack the full 2x2 bilinear corner block (img[y,x], img[y,x+1],
+    img[y+1,x], img[y+1,x+1]) into ONE uint32 word as four rounded 8-bit
+    intensities — a single gather then fetches everything a bilinear
+    sample needs (2x fewer lookups than pack_pairs_u16's two words).
+
+    Precision: intensities are 0..255 so 8 bits loses only sub-integer
+    detail; each corner is off by at most 0.5 intensity, i.e. the
+    interpolated sample by at most 0.5 — still an order of magnitude
+    below camera_pixel_noise (sigma = 4, EV:148) but large enough that a
+    caller wanting bit-parity with the float path must use
+    pack_pairs_u16.  Gate with cfg.stereo_pack_u8.
+    """
+    q = jnp.clip(jnp.round(img), 0.0, 255.0).astype(jnp.uint32)
+    qx = jnp.pad(q[:, 1:], ((0, 0), (0, 1)))
+    qy = jnp.pad(q[1:, :], ((0, 1), (0, 0)))
+    qxy = jnp.pad(q[1:, 1:], ((0, 1), (0, 1)))
+    return q | (qx << 8) | (qy << 16) | (qxy << 24)
+
+
+def bilinear_quad_fill(packed: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """Bilinear sample from a pack_quad_u8 image with the reference's
+    zero-fill rule (corners outside the image contribute 0,
+    Frame.h:211-263).  ONE gather per sample."""
+    H, W = packed.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0r = x0.astype(jnp.int32)
+    y0r = y0.astype(jnp.int32)
+    x0i = jnp.clip(x0r, 0, W - 1)
+    y0i = jnp.clip(y0r, 0, H - 1)
+    word = jnp.take(packed.ravel(), y0i * W + x0i)
+
+    m = jnp.uint32(0xFF)
+    v00 = (word & m).astype(jnp.float32)
+    v01 = ((word >> 8) & m).astype(jnp.float32)
+    v10 = ((word >> 16) & m).astype(jnp.float32)
+    v11 = (word >> 24).astype(jnp.float32)
+    # when x0 < 0 the fetched word's columns are (0, 1): the x1 corner
+    # (= x0+1 = 0) is the LO half; same for y under-range
+    x_under = x0r < 0
+    y_under = y0r < 0
+    v01 = jnp.where(x_under, v00, v01)
+    v11 = jnp.where(x_under, v10, v11)
+    v10 = jnp.where(y_under, v00, v10)
+    v11 = jnp.where(y_under, v01, v11)
+    # per-corner zero-fill from the UNclipped coordinates; x1 = ceil(x)
     x1 = jnp.ceil(x)
     y1 = jnp.ceil(y)
     x0_in = (x0 >= 0) & (x0 <= W - 1)

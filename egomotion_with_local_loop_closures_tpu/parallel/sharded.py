@@ -59,7 +59,7 @@ def sharded_gn_quantities(kf: alignment.KeyframeLevel,
         y0 = shard * (rows_pad // n_shards)
         kf_local = alignment.KeyframeLevel(kf_img, kf_depth, kf_var)
         cur_full = alignment.CurrentLevel(cur_img, cur_gx, cur_gy)
-        H, g, _, _ = alignment._gn_quantities(
+        H, g, _, _, _ = alignment._gn_quantities(
             kf_local, cur_full, pose_, intr, cfg, y_offset=y0)
         return (jax.lax.psum(H, "pixel"), jax.lax.psum(g, "pixel"))
 

@@ -56,6 +56,11 @@ class AlignDiagnostics(NamedTuple):
     iters_used: jnp.ndarray      # per level, number of applied updates
     final_energy: jnp.ndarray    # sum of weighted squared residuals (finest)
     valid_fraction: jnp.ndarray  # fraction of template pixels used (finest)
+    # fraction of depth-valid template pixels censored by the window-warp
+    # sampler at the final pose (in-image but displaced farther than the
+    # window from the mean shift) — 0 on the plain gather path.  Surfaced
+    # so window-induced pixel loss is observable per frame (ADVICE r2).
+    oow_fraction: jnp.ndarray
 
 
 def make_keyframe_levels(image: jnp.ndarray, depth0: jnp.ndarray,
@@ -113,6 +118,7 @@ def _gn_quantities(kf: KeyframeLevel, cur: CurrentLevel, pose: jnp.ndarray,
         warped, in_bounds = interp.bilinear(cur.image, wx, wy)
         gradx = interp.bilinear_fill(cur.gradx, wx, wy)
         grady = interp.bilinear_fill(cur.grady, wx, wy)
+        oow = jnp.asarray(0.0, kf.image.dtype)
     else:
         sampler = interp.make_window_sampler(
             wx, wy, window, Hh, Ww, valid=mask)
@@ -120,6 +126,9 @@ def _gn_quantities(kf: KeyframeLevel, cur: CurrentLevel, pose: jnp.ndarray,
         gradx = interp.window_sample(sampler, cur.gradx)
         grady = interp.window_sample(sampler, cur.grady)
         in_bounds = sampler.in_bounds & sampler.in_window
+        censored = mask & sampler.in_bounds & ~sampler.in_window
+        oow = jnp.sum(censored.astype(jnp.float32)) / jnp.maximum(
+            jnp.sum(mask.astype(jnp.float32)), 1.0)
 
     # steepest descent rows (PixelWisePyramid.cpp:296-320), evaluated at
     # the template pixel (u, v) = (x-cx, y-cy) and template depth d
@@ -158,7 +167,7 @@ def _gn_quantities(kf: KeyframeLevel, cur: CurrentLevel, pose: jnp.ndarray,
     g = jnp.einsum("hwi,hw->i", J, residual * weight)
     energy = jnp.sum(weight * residual * residual)
     valid = jnp.sum((mask & in_bounds).astype(jnp.float32))
-    return Hmat, g, energy, valid
+    return Hmat, g, energy, valid, oow
 
 
 def weight_image(kf: KeyframeLevel, cur: CurrentLevel, pose: jnp.ndarray,
@@ -312,8 +321,8 @@ def gn_level(kf: KeyframeLevel, cur: CurrentLevel, pose0: jnp.ndarray,
 
     def body(carry, _):
         pose, done, wp_last, iters = carry
-        Hmat, g, _, _ = _gn_quantities(kf, cur, pose, intr, cfg,
-                                       window=window)
+        Hmat, g, _, _, _ = _gn_quantities(kf, cur, pose, intr, cfg,
+                                          window=window)
         delta = -linear.solve_spd(
             Hmat + 1e-12 * jnp.eye(6, dtype=Hmat.dtype), g)
         # near-singular systems yield finite-but-astronomical deltas that
@@ -359,7 +368,7 @@ def align(kf_levels: Tuple[KeyframeLevel, ...],
                                 level, cfg, int(max_iters[level]))
         wps.append(wp)
         iters_used.append(it)
-    H0, g0, energy, valid = _gn_quantities(
+    H0, g0, energy, valid, oow = _gn_quantities(
         kf_levels[0], cur_levels[0], pose, cfg.level_intrinsics(0), cfg,
         window=cfg.warp_window[0] if cfg.use_window_warp else None)
     del H0, g0
@@ -369,6 +378,7 @@ def align(kf_levels: Tuple[KeyframeLevel, ...],
         iters_used=jnp.stack(iters_used[::-1]),
         final_energy=energy,
         valid_fraction=valid / total,
+        oow_fraction=oow,
     )
     return pose, diag
 

@@ -255,3 +255,75 @@ def test_to_depth_image_borders_and_sentinels():
     assert float(depth[0, 0]) == 0.0 and float(var[0, 0]) == -1.0
     np.testing.assert_allclose(float(depth[10, 10]), 0.5, rtol=1e-6)
     assert not bool(st2.valid[1, 1])
+
+
+def test_compacted_stereo_matches_dense():
+    """Seed-compacted observe (stereo_compact_frac > 0) must produce the
+    IDENTICAL depth state as the dense golden path whenever the capacity
+    covers every gated pixel — the walk is elementwise per pixel, so
+    compaction is a pure layout change."""
+    img0, _ = _frame(jnp.zeros(6))
+    pose1 = jnp.asarray([0.001, 0.0005, 0.0, 0.03, 0.01, 0.003])
+    img1, _ = _frame(pose1)
+    gx, gy, mg = _kf_data(img0)
+    st = dstate.initialize_random(jax.random.PRNGKey(3), mg, CFG)
+
+    dense_cfg = CFG.replace(stereo_compact_frac=0.0)
+    comp_cfg = CFG.replace(stereo_compact_frac=0.9)   # ample capacity
+    out_d = stereo.observe(st, img0, gx, gy, mg, img1, pose1, dense_cfg)
+    out_c = stereo.observe(st, img0, gx, gy, mg, img1, pose1, comp_cfg)
+    assert int(out_c.num_overflow) == 0
+    assert int(out_d.num_created) == int(out_c.num_created)
+    assert int(out_d.num_updated) == int(out_c.num_updated)
+    for a, b in zip(out_d.state, out_c.state):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_compacted_stereo_overflow_drops_uniformly():
+    """With a capacity below the gated-pixel count the excess is dropped
+    (code -5: no state change for those pixels) and reported, and the
+    drops are spread over the image rather than censoring the last rows."""
+    img0, _ = _frame(jnp.zeros(6))
+    pose1 = jnp.asarray([0.001, 0.0005, 0.0, 0.03, 0.01, 0.003])
+    img1, _ = _frame(pose1)
+    gx, gy, mg = _kf_data(img0)
+    st = dstate.initialize_random(jax.random.PRNGKey(3), mg, CFG)
+
+    tiny = CFG.replace(stereo_compact_frac=0.05)
+    out_d = stereo.observe(st, img0, gx, gy, mg, img1, pose1,
+                           CFG.replace(stereo_compact_frac=0.0))
+    out_t = stereo.observe(st, img0, gx, gy, mg, img1, pose1, tiny)
+    assert int(out_t.num_overflow) > 0
+    # processed pixels changed state identically to dense; unprocessed kept
+    # their prior state -- so every pixel equals dense OR prior
+    for a_d, a_t, a_0 in zip(out_d.state, out_t.state, st):
+        d, t, z = (np.asarray(a_d), np.asarray(a_t), np.asarray(a_0))
+        assert np.all((t == d) | (t == z))
+    # drops spread over rows: changed-pixel rows span most of the image
+    changed = np.asarray(out_t.state.idepth) != np.asarray(st.idepth)
+    rows_with_changes = np.unique(np.nonzero(changed)[0])
+    assert rows_with_changes.size > 0.5 * (changed.shape[0] - 2 * CFG.border)
+
+
+def test_stereo_u8_quad_close_to_u16():
+    """The 1-gather u8-quad sampling path stays within the quantization
+    bound of the 2-gather u16 path: same success pattern for ~all pixels
+    and small idepth differences where both succeed."""
+    img0, depth0 = _frame(jnp.zeros(6))
+    pose1 = jnp.asarray([0.0, 0.0, 0.0, 0.04, 0.01, 0.0])
+    img1, _ = _frame(pose1)
+    gx, gy, mg = _kf_data(img0)
+    st = dstate.initialize_random(jax.random.PRNGKey(3), mg, CFG)
+    out16 = stereo.observe(st, img0, gx, gy, mg, img1, pose1,
+                           CFG.replace(stereo_pack_u8=False))
+    out8 = stereo.observe(st, img0, gx, gy, mg, img1, pose1,
+                          CFG.replace(stereo_pack_u8=True))
+    v16 = np.asarray(out16.state.valid)
+    v8 = np.asarray(out8.state.valid)
+    agree = float(np.mean(v16 == v8))
+    assert agree > 0.97, f"u8/u16 validity agreement {agree}"
+    both = v16 & v8
+    i16 = np.asarray(out16.state.idepth)[both]
+    i8 = np.asarray(out8.state.idepth)[both]
+    med = float(np.median(np.abs(i16 - i8) / np.maximum(np.abs(i16), 1e-6)))
+    assert med < 0.05, f"median idepth disagreement {med}"

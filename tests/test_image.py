@@ -165,3 +165,62 @@ def test_undistort_image_identity_and_inverse():
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=1e-5)
     # and the distortion actually moves pixels
     assert float(jnp.abs(out2 - img)[8:-8, 8:-8].max()) > 0.5
+
+
+def test_bilinear_packed_fill_matches_bilinear():
+    """pack_pairs_u16 sampling is bit-exact vs bilinear() on
+    integer-valued images, including OOB coordinates (ADVICE r2)."""
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.integers(0, 256, (37, 53)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-4, 57, (800,)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-4, 41, (800,)).astype(np.float32))
+    ref, _ = interp.bilinear(img, x, y)
+    got = interp.bilinear_packed_fill(interp.pack_pairs_u16(img), x, y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=0)
+
+
+def test_bilinear_quad_u8_within_quantization_bound():
+    """pack_quad_u8 sampling differs from exact bilinear by at most the
+    0.5-intensity corner rounding (plus fp slack), incl. OOB coords."""
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(0, 255, (33, 49)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-4, 53, (800,)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-4, 37, (800,)).astype(np.float32))
+    ref, _ = interp.bilinear(img, x, y)
+    got = interp.bilinear_quad_fill(interp.pack_quad_u8(img), x, y)
+    assert float(jnp.max(jnp.abs(got - ref))) <= 0.5 + 1e-3
+    # and bit-exact on integer-valued images
+    imgi = jnp.round(img)
+    refi, _ = interp.bilinear(imgi, x, y)
+    goti = interp.bilinear_quad_fill(interp.pack_quad_u8(imgi), x, y)
+    np.testing.assert_allclose(np.asarray(goti), np.asarray(refi),
+                               atol=1e-4, rtol=0)
+
+
+def test_window_sample_matches_bilinear_where_in_window():
+    """window_sample equals bilinear wherever in_window holds, and
+    in_bounds matches bilinear's any-corner rule (ADVICE r2) — with and
+    without explicit shifts."""
+    rng = np.random.default_rng(2)
+    H, W = 40, 56
+    img = jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32))
+    gx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    gy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    # smooth-ish displacement field with some pixels out of window
+    dx = jnp.asarray(rng.uniform(-6, 6, (H, W)).astype(np.float32))
+    dy = jnp.asarray(rng.uniform(-6, 6, (H, W)).astype(np.float32))
+    x = gx + 2.0 + dx
+    y = gy - 1.0 + dy
+    ref, ref_in = interp.bilinear(img, x, y)
+    for shifts in (None, (jnp.int32(-1), jnp.int32(2))):
+        kw = {} if shifts is None else {"shift_y": shifts[0],
+                                        "shift_x": shifts[1]}
+        s = interp.make_window_sampler(x, y, 4, H, W, **kw)
+        got = interp.window_sample(s, img)
+        iw = np.asarray(s.in_window)
+        assert iw.mean() > 0.3            # the window actually bites
+        np.testing.assert_allclose(np.asarray(got)[iw],
+                                   np.asarray(ref)[iw], atol=2e-3, rtol=0)
+        np.testing.assert_array_equal(np.asarray(s.in_bounds)[iw],
+                                      np.asarray(ref_in)[iw])

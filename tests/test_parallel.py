@@ -39,7 +39,7 @@ def test_pixel_sharded_gn_matches_single_device():
     kf, cur, pose = _pair()
     H_sh, g_sh = sharded.sharded_gn_quantities(kf[0], cur[0],
                                                jnp.zeros(6), 0, CFG, m)
-    H_ref, g_ref, _, _ = alignment._gn_quantities(
+    H_ref, g_ref, _, _, _ = alignment._gn_quantities(
         kf[0], cur[0], jnp.zeros(6), CFG.level_intrinsics(0), CFG)
     np.testing.assert_allclose(np.asarray(H_sh), np.asarray(H_ref),
                                rtol=2e-4)
