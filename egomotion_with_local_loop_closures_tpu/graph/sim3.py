@@ -12,15 +12,19 @@ odometry edges carrying the per-keyframe rescale factor as a log-scale
 measurement and loop-closure edges from the rematch alignments, solved by
 damped Gauss-Newton.
 
-TPU-native design: Sim(3) exp/log avoid hand-derived series — ``exp`` is
-the matrix exponential of the 4x4 algebra element [[hat(w)+sI, v],[0,0]],
-and ``log``'s translation block uses the augmented-matrix identity
-expm([[M, I],[0, 0]]) = [[e^M, ∫e^{Mτ}dτ],[0, I]] to get the W matrix,
-so both are closed-form, branch-free, and differentiable; residual
-Jacobians come from ``jax.jacfwd`` through the whole Lie composition, and
-one GN iteration is a dense (7E x 7(N-1)) normal-equation solve — ideal
-MXU work for window-sized graphs.  Everything is jitted with static
-iteration counts (no data-dependent control flow)."""
+TPU-native design: Sim(3) exp/log are CLOSED FORM (Rodrigues rotation +
+the W = C I + A [w]x + B [w]x^2 left-Jacobian-like integral with exact
+small-angle/small-scale Taylor limits, validated against matrix expm in
+tests/test_sim3.py) — branch-free jnp.where selects, differentiable, and
+O(1) per element, so they batch under vmap without the O(n^3)
+iterated-squaring cost of expm.  ``refine`` here is the DENSE reference
+solver: residual Jacobians from ``jax.jacfwd`` through the whole graph,
+one GN iteration = a (7E x 7(N-1)) normal-equation solve — fine for
+window-sized graphs and the golden baseline for the scalable engine.
+The production solver is ``graph/ba.py``: analytic per-edge Jacobians,
+matrix-free block-sparse normal equations, preconditioned CG, and
+edge-sharded ``psum`` for multi-chip — O(E) per iteration instead of
+O(E N^2).  Everything is jitted with static iteration counts."""
 
 from __future__ import annotations
 
@@ -45,38 +49,121 @@ def hat_sim3(xi: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([top, jnp.zeros((1, 4))], axis=0)
 
 
-def exp_sim3(xi: jnp.ndarray) -> jnp.ndarray:
-    """Sim(3) exponential: 4x4 [[e^s R, Wv], [0, 1]]."""
-    return jax.scipy.linalg.expm(hat_sim3(xi))
+_SMALL_T2 = 1e-4      # theta^2 Taylor switch (matches geom.lie)
+_SMALL_S = 1e-3       # |sigma| Taylor switch
+
+
+def _w_coeffs(theta2: jnp.ndarray, s: jnp.ndarray):
+    """Closed-form coefficients of W = ∫_0^1 e^{sτ} exp([w]x τ) dτ
+    = C I + A [w]x + B [w]x^2 (the Sim(3) 'V' matrix; cf. Strasdat's
+    Sophus), with exact Taylor limits at θ -> 0 and s -> 0, branch-free.
+
+    All four regimes are computed with guarded denominators and selected
+    with jnp.where, so the function is differentiable and vmap-friendly.
+    """
+    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    scale = jnp.exp(s)
+    t_small = theta2 < _SMALL_T2
+    s_small = jnp.abs(s) < _SMALL_S
+
+    t2g = jnp.where(t_small, 1.0, theta2)       # guarded theta^2
+    tg = jnp.sqrt(t2g)
+    sg = jnp.where(s_small, 1.0, s)             # guarded sigma
+
+    # C = (e^s - 1)/s;    s->0: 1 + s/2 + s^2/6
+    C = jnp.where(s_small, 1.0 + s / 2.0 + s * s / 6.0,
+                  (scale - 1.0) / sg)
+
+    a = scale * jnp.sin(tg)
+    b = scale * jnp.cos(tg)
+    s2t2 = sg * sg + t2g
+
+    # A: s->0: (1-cos θ)/θ^2          (θ->0: 1/2 - θ^2/24)
+    #    else: (a s + (1-b) θ)/(θ (s^2+θ^2))
+    #          (θ->0: (e^s (s-1) + 1)/s^2)
+    A_s0 = jnp.where(t_small, 0.5 - theta2 / 24.0,
+                     (1.0 - jnp.cos(tg)) / t2g)
+    A_t0 = (scale * (sg - 1.0) + 1.0) / (sg * sg)
+    A_gen = (a * sg + (1.0 - b) * tg) / (tg * s2t2)
+    A = jnp.where(s_small, A_s0, jnp.where(t_small, A_t0, A_gen))
+
+    # B: s->0: (θ - sin θ)/θ^3        (θ->0: 1/6 - θ^2/120)
+    #    else: (C - ((b-1) s + a θ)/(s^2+θ^2)) / θ^2
+    #          (θ->0: (e^s (s^2-2s+2) - 2)/(2 s^3))
+    B_s0 = jnp.where(t_small, 1.0 / 6.0 - theta2 / 120.0,
+                     (tg - jnp.sin(tg)) / (t2g * tg))
+    B_t0 = (scale * (sg * sg - 2.0 * sg + 2.0) - 2.0) / (2.0 * sg ** 3)
+    B_gen = (C - ((b - 1.0) * sg + a * tg) / s2t2) / t2g
+    B = jnp.where(s_small, B_s0, jnp.where(t_small, B_t0, B_gen))
+    return A, B, C
 
 
 def _w_matrix(w: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
-    """W = ∫_0^1 e^{sτ} exp(hat(w) τ) dτ via the augmented expm identity
-    (closed-form, branch-free, works at θ -> 0 and s -> 0)."""
-    M = lie.hat_so3(w) + s * jnp.eye(3)
-    aug = jnp.zeros((6, 6)).at[:3, :3].set(M).at[:3, 3:].set(jnp.eye(3))
-    return jax.scipy.linalg.expm(aug)[:3, 3:]
+    """W = ∫_0^1 e^{sτ} exp(hat(w) τ) dτ in closed form (batchable over
+    leading dims; validated against the augmented expm identity)."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    A, B, C = _w_coeffs(theta2, s)
+    W = lie.hat_so3(w)
+    W2 = W @ W
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=W.dtype), W.shape)
+    return (C[..., None, None] * eye + A[..., None, None] * W
+            + B[..., None, None] * W2)
+
+
+def _inv3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse (adjugate/det) — batchable, no pivoting;
+    W is always well-conditioned (it -> I as the transform -> identity)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A_ = e * i - f * h
+    B_ = -(d * i - f * g)
+    C_ = d * h - e * g
+    det = a * A_ + b * B_ + c * C_
+    det = jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    adj = jnp.stack([
+        jnp.stack([A_, -(b * i - c * h), b * f - c * e], axis=-1),
+        jnp.stack([B_, a * i - c * g, -(a * f - c * d)], axis=-1),
+        jnp.stack([C_, -(a * h - b * g), a * e - b * d], axis=-1),
+    ], axis=-2)
+    return adj / det[..., None, None]
+
+
+def exp_sim3(xi: jnp.ndarray) -> jnp.ndarray:
+    """Sim(3) exponential: (..., 7) [w v s] -> 4x4 [[e^s R, Wv], [0, 1]],
+    closed form (equals expm of hat_sim3; tests assert)."""
+    w, v, s = xi[..., :3], xi[..., 3:6], xi[..., 6]
+    R = lie.exp_so3(w)
+    W = _w_matrix(w, s)
+    t = jnp.einsum("...ij,...j->...i", W, v)
+    top = jnp.concatenate(
+        [jnp.exp(s)[..., None, None] * R, t[..., :, None]], axis=-1)
+    bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bottom], axis=-2)
 
 
 def log_sim3(T: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of exp_sim3 for T = [[e^s R, t], [0, 1]]."""
-    A = T[:3, :3]
-    t = T[:3, 3]
+    """Inverse of exp_sim3 for T = [[e^s R, t], [0, 1]] (batchable)."""
+    A = T[..., :3, :3]
+    t = T[..., :3, 3]
     # det(e^s R) = e^{3s}
     s = jnp.log(jnp.linalg.det(A)) / 3.0
-    R = A * jnp.exp(-s)
+    R = A * jnp.exp(-s)[..., None, None]
     w = lie.log_so3(R)
-    v = jnp.linalg.solve(_w_matrix(w, s), t)
-    return jnp.concatenate([w, v, s[None]])
+    v = jnp.einsum("...ij,...j->...i", _inv3(_w_matrix(w, s)), t)
+    return jnp.concatenate([w, v, s[..., None]], axis=-1)
 
 
 def inv_sim3(T: jnp.ndarray) -> jnp.ndarray:
-    A = T[:3, :3]
-    Ainv = jnp.linalg.inv(A)
-    out = jnp.eye(4)
-    out = out.at[:3, :3].set(Ainv)
-    out = out.at[:3, 3].set(-Ainv @ T[:3, 3])
-    return out
+    """Closed-form Sim(3) matrix inverse: [[A, t],[0,1]]^-1 =
+    [[A^-1, -A^-1 t],[0,1]] with A^-1 = e^-s R^T computed by adjugate
+    (batchable)."""
+    A = T[..., :3, :3]
+    Ainv = _inv3(A)
+    t = -jnp.einsum("...ij,...j->...i", Ainv, T[..., :3, 3])
+    top = jnp.concatenate([Ainv, t[..., :, None]], axis=-1)
+    bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bottom], axis=-2)
 
 
 def se3_to_sim3(xi6: jnp.ndarray, log_scale=0.0) -> jnp.ndarray:

@@ -106,3 +106,27 @@ def test_graph_from_trajectory_consistent():
     g = sim3.graph_from_trajectory(poses, np.ones(6))
     r = sim3.residuals(g.nodes, g.edges, g.meas)
     assert float(jnp.abs(r).max()) < 1e-3
+
+
+def test_closed_form_exp_matches_expm():
+    """The closed-form exp_sim3 (Rodrigues + W-coefficient integral) must
+    equal the matrix exponential of the algebra element across all Taylor
+    regimes: generic, theta->0, s->0, both->0, and large values."""
+    import jax.scipy.linalg as jsl
+    rng = np.random.default_rng(7)
+    cases = [rng.normal(size=7) * 0.5 for _ in range(8)]
+    cases += [np.array([1e-6, -2e-6, 1e-6, 0.3, -0.2, 0.1, 0.4]),   # th->0
+              np.array([0.4, -0.3, 0.2, 0.3, -0.2, 0.1, 1e-7]),     # s->0
+              np.array([1e-7, 0, 0, 0.3, -0.2, 0.1, 1e-8]),         # both
+              np.array([0, 0, 0, 0, 0, 0, 0.0]),                    # id
+              np.array([2.0, -1.5, 1.0, 0.8, -0.5, 0.3, 0.9])]      # large
+    for c in cases:
+        xi = jnp.asarray(c, jnp.float32)
+        ours = np.asarray(sim3.exp_sim3(xi))
+        ref = np.asarray(jsl.expm(sim3.hat_sim3(xi)))
+        np.testing.assert_allclose(ours, ref, atol=5e-5,
+                                   err_msg=f"case {c}")
+        # and log inverts it
+        back = np.asarray(sim3.log_sim3(jnp.asarray(ref)))
+        np.testing.assert_allclose(back, c.astype(np.float32), atol=5e-4,
+                                   err_msg=f"log case {c}")
