@@ -444,16 +444,21 @@ def line_stereo_compact(run: jnp.ndarray,
                         min_idepth: jnp.ndarray, prior_idepth: jnp.ndarray,
                         max_idepth: jnp.ndarray,
                         pose_cur_wrt_kf: jnp.ndarray,
-                        cfg: ELLCConfig
+                        cfg: ELLCConfig,
+                        priority: jnp.ndarray | None = None
                         ) -> Tuple[StereoResult, jnp.ndarray]:
     """Seed-compacted doLineStereo: only pixels with ``run`` True walk the
     epipolar segment.  Returns (dense StereoResult, overflow count).
 
     Pixels NOT in ``run`` (and overflow pixels beyond the capacity)
     report code -5 / zeros — the caller's gating ignores them, and
-    overflow pixels simply retry next frame.  Wherever ``run`` holds and
-    capacity suffices the result is IDENTICAL to line_stereo (the
-    computation is elementwise per pixel; tests assert equality).
+    overflow pixels simply retry next frame.  ``priority`` pixels (the
+    caller passes existing-hypothesis pixels, whose EKF update decays
+    validity when skipped) claim capacity FIRST, so overflow only ever
+    drops create attempts — a graceful degradation the uniform interleave
+    then spreads over the image.  Wherever ``run`` holds and capacity
+    suffices the result is IDENTICAL to line_stereo (the computation is
+    elementwise per pixel; tests assert equality).
     """
     H, W = kf_image.shape
     HW = H * W
@@ -466,9 +471,19 @@ def line_stereo_compact(run: jnp.ndarray,
 
     perm = _interleave_perm(HW)
     run_p = run.ravel()[perm]
-    (pos,) = jnp.nonzero(run_p, size=cap, fill_value=HW)
     n_run = jnp.sum(run)
     overflow = jnp.maximum(n_run - cap, 0)
+    if priority is None:
+        (pos,) = jnp.nonzero(run_p, size=cap, fill_value=HW)
+    else:
+        prio_p = priority.ravel()[perm]
+        (pos_u,) = jnp.nonzero(run_p & prio_p, size=cap, fill_value=HW)
+        (pos_c,) = jnp.nonzero(run_p & ~prio_p, size=cap, fill_value=HW)
+        n_u = jnp.minimum(jnp.sum(run_p & prio_p), cap)
+        slot = jnp.arange(cap)
+        pos = jnp.where(slot < n_u, pos_u,
+                        jnp.take(pos_c,
+                                 jnp.clip(slot - n_u, 0, cap - 1)))
     slot_ok = pos < HW
     idx = jnp.take(perm, jnp.minimum(pos, HW - 1))   # flat pixel index
     idx = jnp.where(slot_ok, idx, HW)                # HW = scatter-drop
@@ -553,7 +568,8 @@ def observe(state: DepthMapState,
     if cfg.stereo_compact_frac > 0.0:
         res, overflow = line_stereo_compact(
             run, kf_image, kf_gradx, kf_grady, packed,
-            epxn, epyn, min_id, prior, max_id, pose_cur_wrt_kf, cfg)
+            epxn, epyn, min_id, prior, max_id, pose_cur_wrt_kf, cfg,
+            priority=has_hyp)
     else:
         res = line_stereo(kf_image, kf_gradx, kf_grady, packed,
                           epxn, epyn, min_id, prior, max_id,

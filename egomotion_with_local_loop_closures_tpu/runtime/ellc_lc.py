@@ -169,10 +169,22 @@ def run_ellc_lc(frames: Iterable[np.ndarray], cfg: ELLCConfig,
                 done = True
                 break
         usable = (len(buf) // K) * K
-        if usable == 0:
-            break
         extra_frames = buf[usable:]
         buf = buf[:usable]
+        if usable == 0:
+            # stream ended with less than one interval: per-frame tail
+            # tracking below, no batch / RA
+            done = True
+            for img in extra_frames:
+                frame_id += 1
+                state, o = pipeline.track_refine_step(
+                    state, jnp.asarray(img), cfg)
+                w = np.asarray(lie.compose(
+                    jnp.asarray(np.asarray(o.pose_wrt_world)),
+                    jnp.asarray(base_world)))
+                raw.append((frame_id, w))
+                corrected.append((frame_id, w))
+            break
 
         start_id = frame_id
         state, rec = _track_batch(state, buf, start_id, cfg, closer,
@@ -190,11 +202,20 @@ def run_ellc_lc(frames: Iterable[np.ndarray], cfg: ELLCConfig,
         out = _rotation_average_batch(rec, cfg)
         # accumulate corrected world poses: rows are w.r.t. the transition
         # frame; compose onto the corrected base (small_batch_rotavg.m:43-50)
+        end_world = None
+        end_fid = start_id + len(buf)     # the batch's last keyframe
         for r in out:
             w = np.asarray(lie.compose(
                 jnp.asarray(np.asarray(r[1:7], np.float32)),
                 jnp.asarray(base_world)))
             corrected.append((int(r[0]), w))
+            if int(r[0]) == end_fid:
+                end_world = w
+        # the next batch chains from the corrected end-of-batch KEYFRAME
+        # pose — looked up by frame id rather than trusting row order
+        # (len(buf) is a multiple of K, so end_fid is a keyframe)
+        assert end_world is not None, \
+            f"RA output is missing the transition keyframe {end_fid}"
 
         # --- replay the batch from the saved transition depth with the
         # corrected rotations as initialization ---
@@ -213,7 +234,7 @@ def run_ellc_lc(frames: Iterable[np.ndarray], cfg: ELLCConfig,
                 init_rotations=init_rots)
             # the replayed final state seeds the next batch; the next
             # batch's poses chain from the corrected end-of-batch pose
-            base_world = corrected[-1][1]
+            base_world = end_world
             # reset relative bookkeeping: new transition frame is the
             # batch's last keyframe, whose corrected world pose is
             # base_world; the pipeline state's kf.world_pose is relative
@@ -223,9 +244,22 @@ def run_ellc_lc(frames: Iterable[np.ndarray], cfg: ELLCConfig,
 
         batch_no += 1
         if len(extra_frames):
-            # frames that don't fill an interval at the very end: ignore
-            # (the reference's 32500-frame cap makes the tail negligible)
+            # end-of-stream frames that don't fill an interval: track
+            # them per frame against the final keyframe (no new KF, no
+            # RA — the reference's last partial batch also ends un-
+            # averaged when the stream stops, main.cpp:199-505) so every
+            # input frame gets a pose line
             done = True
+            tail_base = base_world
+            for img in extra_frames:
+                frame_id += 1
+                state, o = pipeline.track_refine_step(
+                    state, jnp.asarray(img), cfg)
+                w = np.asarray(lie.compose(
+                    jnp.asarray(np.asarray(o.pose_wrt_world)),
+                    jnp.asarray(tail_base)))
+                raw.append((frame_id, w))
+                corrected.append((frame_id, w))
 
     if out_dir:
         with ellc_io.PoseWriter(os.path.join(out_dir, "poses_corrected.txt")) \

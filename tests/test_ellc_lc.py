@@ -77,3 +77,16 @@ def test_ellc_lc_with_sim3_refinement(tmp_path):
     d = np.abs(res.sim3_world_poses - res.world_poses)
     assert float(d[:, :3].max()) < 0.2, f"sim3 diverged: {d.max(axis=0)}"
     assert os.path.getsize(os.path.join(tmp_path, "poses_sim3.txt")) > 0
+
+
+def test_ellc_lc_tracks_tail_frames():
+    """End-of-stream frames that don't fill a keyframe interval must
+    still get pose rows (the reference tracks every frame,
+    main.cpp:199-505); previously they were dropped."""
+    imgs, gt = _sequence(n=38)       # 37 tracked: 2 batches of 16 + 5 tail
+    res = ellc_lc.run_ellc_lc(iter(imgs), CFG, max_frames=len(imgs))
+    ids = set(int(i) for i in res.frame_ids)
+    # every frame after the first must have a corrected pose row
+    missing = [f for f in range(2, len(imgs) + 1) if f not in ids]
+    assert not missing, f"frames without pose rows: {missing}"
+    assert np.isfinite(res.world_poses).all()
