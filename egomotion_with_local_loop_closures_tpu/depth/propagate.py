@@ -169,32 +169,46 @@ def fill_holes(state: DepthMapState, kf_maxgrad: jnp.ndarray,
     valid 5x5 neighbour) are skipped instead of writing NaN (documented
     deviation from :1379 which would produce NaN).
     """
-    H, W = state.valid.shape
-    v_row = jnp.where(state.valid, state.validity, 0.0)
-    pref2d = jnp.cumsum(v_row, axis=1)
-    if cfg.lsd_correct_hole_fill:
-        # true 2D integral (LSD-SLAM's buildRegIntegralBuffer semantics)
-        pref2d = jnp.cumsum(pref2d, axis=0)
-    # io index offsets (:1351): +2+2W, +2-3W, -3+2W, -3-3W
-    def pref(dy, dx):
-        return _shift(pref2d, dy, dx)
-    val = pref(2, 2) - pref(-3, 2) - pref(2, -3) + pref(-3, -3)
-
-    # 5x5 inverse-variance means over the snapshot (:1361-1377)
-    sum_iv = jnp.zeros((H, W))
-    sum_id = jnp.zeros((H, W))
-    num = jnp.zeros((H, W))
+    acc = (jnp.zeros(state.valid.shape), jnp.zeros(state.valid.shape),
+           jnp.zeros(state.valid.shape))
     for dy in range(-2, 3):
         for dx in range(-2, 3):
-            sv = _shift(state.valid.astype(jnp.float32), dy, dx)
-            svar = _shift(state.var, dy, dx, fill=1.0)
-            sid = _shift(state.idepth, dy, dx)
-            iv = jnp.where(sv > 0, 1.0 / jnp.where(jnp.abs(svar) > 1e-12,
-                                                   svar, 1e-12), 0.0)
-            sum_iv += iv
-            sum_id += iv * sid
-            num += sv
+            acc = fill_tap(
+                _shift(state.valid.astype(jnp.float32), dy, dx),
+                _shift(state.var, dy, dx, fill=1.0),
+                _shift(state.idepth, dy, dx), acc)
+    return fill_finish(state, fill_val(state, cfg), acc, kf_maxgrad, cfg)
 
+
+def fill_val(state: DepthMapState, cfg: ELLCConfig) -> jnp.ndarray:
+    """The reference reads its prefix buffer at offsets +2+2W, +2-3W,
+    -3+2W, -3-3W (:1351); the resulting window sums are computed here
+    directly as shifted adds (identical inside the interior region the
+    cond mask restricts to; cumsum is not lowerable in Pallas TPU)."""
+    v_row = jnp.where(state.valid, state.validity, 0.0)
+    win5 = sum(_shift(v_row, 0, dx) for dx in range(-2, 3))
+    if cfg.lsd_correct_hole_fill:
+        # true 5x5 box sum (LSD-SLAM's buildRegIntegralBuffer semantics)
+        return sum(_shift(win5, dy, 0) for dy in range(-2, 3))
+    # per-row prefix buffer reset each row (:1414-1429): "val" is
+    # rowsum(y+2, x-2..x+2) - rowsum(y-3, x-2..x+2), NOT a box sum
+    return _shift(win5, 2, 0) - _shift(win5, -3, 0)
+
+
+def fill_tap(sv, svar, sid, acc):
+    """One 5x5 tap of the inverse-variance mean (:1361-1377); shared by
+    the unrolled XLA loop above and the Pallas sweep (ops/reg_kernel.py)."""
+    sum_iv, sum_id, num = acc
+    iv = jnp.where(sv > 0, 1.0 / jnp.where(jnp.abs(svar) > 1e-12,
+                                           svar, 1e-12), 0.0)
+    return (sum_iv + iv, sum_id + iv * sid, num + sv)
+
+
+def fill_finish(state: DepthMapState, val, acc, kf_maxgrad,
+                cfg: ELLCConfig) -> DepthMapState:
+    """Gate + write-back of fillDepthHoles (:1340-1359, :1379-1393)."""
+    H, W = state.valid.shape
+    sum_iv, sum_id, num = acc
     region = _region_mask(H, W, 3, H - 3, 3, W - 2)
     cond = (region & ~state.valid & (kf_maxgrad >= cfg.min_abs_grad_decrease)
             & (((state.blacklisted >= cfg.min_blacklist)
@@ -222,29 +236,45 @@ def regularize(state: DepthMapState, cfg: ELLCConfig,
     smoothed values; drops pixels with low neighbourhood validity and,
     optionally, occluded pixels."""
     H, W = state.valid.shape
-    sum_w = jnp.zeros((H, W))
-    sum_id = jnp.zeros((H, W))
-    val_sum = jnp.zeros((H, W))
-    n_occ = jnp.zeros((H, W))
-    n_not = jnp.zeros((H, W))
+    z = jnp.zeros((H, W))
+    acc = (z, z, z, z, z)
     for dy in range(-2, 3):
         for dx in range(-2, 3):
-            sv = _shift(state.valid.astype(jnp.float32), dy, dx) > 0
-            sid = _shift(state.idepth, dy, dx)
-            svar = _shift(state.var, dy, dx, fill=1.0)
-            svalc = _shift(state.validity, dy, dx)
-            diff = sid - state.idepth
-            compat = (cfg.diff_fac_smoothing * diff * diff
-                      <= svar + state.var)
-            use = sv & compat
-            n_occ += jnp.where(sv & ~compat & (sid > state.idepth), 1.0, 0.0)
-            n_not += jnp.where(use, 1.0, 0.0)
-            dist_fac = float(dx * dx + dy * dy) * cfg.reg_dist_var
-            iv = jnp.where(use, 1.0 / (jnp.maximum(svar, 0.0) + dist_fac), 0.0)
-            sum_w += iv
-            sum_id += iv * sid
-            val_sum += jnp.where(use, svalc, 0.0)
+            acc = reg_tap(
+                state,
+                _shift(state.valid.astype(jnp.float32), dy, dx),
+                _shift(state.idepth, dy, dx),
+                _shift(state.var, dy, dx, fill=1.0),
+                _shift(state.validity, dy, dx),
+                jnp.float32(dy * dy + dx * dx), acc, cfg)
+    return reg_finish(state, acc, cfg, remove_occlusions)
 
+
+def reg_tap(state: DepthMapState, svf, sid, svar, svalc, dist2, acc,
+            cfg: ELLCConfig):
+    """One 5x5 tap of regularizeDepthMap's inverse-variance smoothing
+    (:1460-1500); shared by the unrolled XLA loop above and the Pallas
+    sweep (ops/reg_kernel.py).  ``dist2`` is (dy^2 + dx^2) as f32."""
+    sum_w, sum_id, val_sum, n_occ, n_not = acc
+    sv = svf > 0
+    diff = sid - state.idepth
+    compat = (cfg.diff_fac_smoothing * diff * diff
+              <= svar + state.var)
+    use = sv & compat
+    n_occ = n_occ + jnp.where(sv & ~compat & (sid > state.idepth), 1.0, 0.0)
+    n_not = n_not + jnp.where(use, 1.0, 0.0)
+    dist_fac = dist2 * jnp.float32(cfg.reg_dist_var)
+    iv = jnp.where(use, 1.0 / (jnp.maximum(svar, 0.0) + dist_fac), 0.0)
+    return (sum_w + iv, sum_id + iv * sid,
+            val_sum + jnp.where(use, svalc, 0.0), n_occ, n_not)
+
+
+def reg_finish(state: DepthMapState, acc, cfg: ELLCConfig,
+               remove_occlusions: bool) -> DepthMapState:
+    """Drop gates + smoothed write-back of regularizeDepthMap
+    (:1502-1543)."""
+    H, W = state.valid.shape
+    sum_w, sum_id, val_sum, n_occ, n_not = acc
     region = _region_mask(H, W, 3, H - 3, 2, W - 2)
     touched = region & state.valid
 

@@ -45,7 +45,9 @@ def test_line_stereo_triangulates_true_depth():
     gt_id = 1.0 / depth0
     # update-style band around the truth
     sv = 0.15
-    res = stereo.line_stereo(img0, gx, gy, interp.pack_pairs_u16(img1),
+    packed = interp.pack_quad_u8(img1) if CFG.stereo_pack_u8 \
+        else interp.pack_pairs_u16(img1)
+    res = stereo.line_stereo(img0, gx, gy, packed,
                              epx, epy,
                              jnp.maximum(gt_id - 2 * sv, 0.0), gt_id,
                              jnp.minimum(gt_id + 2 * sv, 1.0 / CFG.min_depth),
