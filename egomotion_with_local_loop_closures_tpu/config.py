@@ -102,7 +102,21 @@ class ELLCConfig:
     # Both defaults validated end-to-end on the 519-frame identical-input
     # parity run vs the reference binary (BASELINE.md parity table):
     # RPE-8f max 3.3 deg, sim3 ATE 0.044 — better than the dense u16 run.
+    #
+    # Round-4 two-tier walk: the dense (gather-free) segment setup now
+    # runs first, pixels failing its pre-checks never claim capacity, and
+    # the survivors are split by their EXACT step count (stereo.count_steps)
+    # into a SHORT pool walking stereo_short_steps samples (capacity
+    # stereo_short_frac * H * W — converged seeds, whose mu +- 2 sigma
+    # prior bound shortens the segment, DepthPropagation.cpp:434-486) and
+    # a LONG pool walking the full stereo_max_steps (capacity
+    # stereo_compact_frac * H * W).  stereo_short_steps = 0 disables the
+    # split (one full-length pool).  Capacities are sized from measured
+    # workload statistics (tools/probe_stereo_stats.py on the 519-frame
+    # parity sequence); overflow is dropped uniformly + surfaced.
     stereo_compact_frac: float = 0.4
+    stereo_short_steps: int = 12
+    stereo_short_frac: float = 0.25
     stereo_pack_u8: bool = True
 
     # --- depth filter / EKF (EV:120-143) --------------------------------

@@ -130,21 +130,33 @@ def _sample(cur_packed: jnp.ndarray, sx, sy, u8: bool):
     return interp.bilinear_packed_fill(cur_packed, sx, sy)
 
 
-def _stereo_core(x, y, real, epxn, epyn,
-                 min_idepth, prior_idepth, max_idepth,
-                 gix, giy, cur_packed, pose_cur_wrt_kf,
-                 H: int, W: int, cfg: ELLCConfig) -> StereoResult:
-    """doLineStereo (DepthPropagation.cpp:397-885), shape-generic: all
-    per-pixel inputs share an arbitrary leading shape P (the full (H, W)
-    grid on the dense path, a compacted (CAP,) vector otherwise);
-    ``real`` is the 5-tap KF descriptor with shape (5,) + P;
-    ``cur_packed`` stays the full (H, W) packed current image."""
-    S = cfg.stereo_max_steps
-    fx, fy, cx, cy = cfg.fx, cfg.fy, cfg.cx, cfg.cy
-    eps = cfg.division_eps
+class SegmentSetup(NamedTuple):
+    """The gather-free part of doLineStereo: per-pixel epipolar segment
+    endpoints, step increment and pre-check error code — everything up to
+    (but not including) the sampling walk (DepthPropagation.cpp:397-553).
+    All fields share the per-pixel shape P.  Elementwise only, so it can
+    be evaluated densely over the whole image to decide WHICH pixels need
+    the (gather-bound) walk and how many steps each needs, then
+    re-evaluated bit-identically on the compacted pixel subset."""
+    code: jnp.ndarray
+    pfar_x: jnp.ndarray
+    pfar_y: jnp.ndarray
+    incx: jnp.ndarray
+    incy: jnp.ndarray
+    pclose_x: jnp.ndarray
+    pclose_y: jnp.ndarray
+    rescale: jnp.ndarray
+
+
+def _segment_setup(x, y, epxn, epyn,
+                   min_idepth, prior_idepth, max_idepth,
+                   pose_cur_wrt_kf, H: int, W: int,
+                   cfg: ELLCConfig) -> SegmentSetup:
+    """Segment construction + pre-checks of doLineStereo
+    (DepthPropagation.cpp:397-553)."""
     P = x.shape
 
-    R, t, KR, Kt = _pose_blocks(pose_cur_wrt_kf, cfg)
+    _, _, KR, Kt = _pose_blocks(pose_cur_wrt_kf, cfg)
     code = jnp.zeros(P, jnp.int32)
 
     kx, ky, pinf, rescale = _pinf_rescale(x, y, prior_idepth, KR, Kt, cfg)
@@ -235,6 +247,55 @@ def _stereo_core(x, y, real, epxn, epyn,
     clamped = lo_x | hi_x | lo_y | hi_y
     code = _set_code(code, clamped & (still_out | (new_len < 8.0)), -1)
 
+    return SegmentSetup(code=code, pfar_x=pfar_x, pfar_y=pfar_y,
+                        incx=incx, incy=incy,
+                        pclose_x=pclose_x, pclose_y=pclose_y,
+                        rescale=rescale)
+
+
+def _step_cond(seg: SegmentSetup, S: int):
+    """The walk's continuation condition for steps 0..S-1 (the while-loop
+    test at DepthPropagation.cpp:628), shape (S,) + P.  Elementwise."""
+    P = seg.pfar_x.shape
+    ks = jnp.arange(S, dtype=seg.pfar_x.dtype).reshape((S,) + (1,) * len(P))
+    posx = seg.pfar_x[None] + ks * seg.incx[None]
+    posy = seg.pfar_y[None] + ks * seg.incy[None]
+    cond = (((seg.incx[None] < 0) == (posx > seg.pclose_x[None]))
+            & ((seg.incy[None] < 0) == (posy > seg.pclose_y[None])))
+    return cond.at[0].set(True)
+
+
+def count_steps(seg: SegmentSetup, S: int) -> jnp.ndarray:
+    """Exact number of walk steps each pixel takes (= leading run of True
+    in the cumulative step condition).  Computed with the same float ops
+    as the walk itself, so a pool sized by ``count_steps(seg, S) <= S'``
+    is guaranteed to reproduce the full-S walk bit-for-bit."""
+    valid = jnp.cumprod(_step_cond(seg, S).astype(jnp.int32), axis=0)
+    return jnp.sum(valid, axis=0)
+
+
+def _walk(x, y, real, epxn, epyn, gix, giy,
+          seg: SegmentSetup, cur_packed, pose_cur_wrt_kf,
+          S: int, H: int, W: int, cfg: ELLCConfig) -> StereoResult:
+    """The sampling walk + subpixel + triangulation + variance model of
+    doLineStereo (DepthPropagation.cpp:611-885) over a fixed trip count
+    ``S``.  Per-pixel inputs share an arbitrary leading shape P (the full
+    (H, W) grid on the dense path, a compacted (CAP,) vector otherwise);
+    ``real`` is the 5-tap KF descriptor with shape (5,) + P;
+    ``cur_packed`` stays the full (H, W) packed current image.  Results
+    are exact for every pixel whose step count is <= S (count_steps)."""
+    fx, fy, cx, cy = cfg.fx, cfg.fy, cfg.cx, cfg.cy
+    eps = cfg.division_eps
+    P = x.shape
+    R, t, _, _ = _pose_blocks(pose_cur_wrt_kf, cfg)
+    kx = (x - cx) / fx
+    ky = (y - cy) / fy
+    code = seg.code
+    pfar_x, pfar_y = seg.pfar_x, seg.pfar_y
+    incx, incy = seg.incx, seg.incy
+    pclose_x, pclose_y = seg.pclose_x, seg.pclose_y
+    rescale = seg.rescale
+
     # ---- fixed-trip epipolar walk (:611-710) ----
     # sample current image at pFar + o*inc for o in [-2, S+1]
     offs = jnp.arange(-2, S + 2, dtype=x.dtype)             # (S+4,)
@@ -263,12 +324,7 @@ def _stereo_core(x, y, real, epxn, epyn,
         axis=0)                          # ecorr[k] = sum e(k) e(k-1)
 
     # step validity: the while-loop condition (:628), cumulative
-    ks = jnp.arange(S, dtype=x.dtype).reshape((S,) + (1,) * len(P))
-    posx = pfar_x[None] + ks * incx[None]
-    posy = pfar_y[None] + ks * incy[None]
-    cond = (((incx[None] < 0) == (posx > pclose_x[None]))
-            & ((incy[None] < 0) == (posy > pclose_y[None])))
-    cond = cond.at[0].set(True)
+    cond = _step_cond(seg, S)
     step_valid = jnp.cumprod(cond.astype(jnp.int32), axis=0).astype(bool)
 
     ee_masked = jnp.where(step_valid, ee, jnp.inf)
@@ -414,13 +470,12 @@ def line_stereo(kf_image: jnp.ndarray,
     """
     H, W = kf_image.shape
     x, y = camera.pixel_grid(H, W)
-    _, _, KR, Kt = _pose_blocks(pose_cur_wrt_kf, cfg)
-    _, _, _, rescale = _pinf_rescale(x, y, prior_idepth, KR, Kt, cfg)
-    real = _kf_descriptor(kf_image, epxn, epyn, rescale, H, W)
-    return _stereo_core(x, y, real, epxn, epyn,
-                        min_idepth, prior_idepth, max_idepth,
-                        kf_gradx, kf_grady, cur_packed, pose_cur_wrt_kf,
-                        H, W, cfg)
+    seg = _segment_setup(x, y, epxn, epyn, min_idepth, prior_idepth,
+                         max_idepth, pose_cur_wrt_kf, H, W, cfg)
+    real = _kf_descriptor(kf_image, epxn, epyn, seg.rescale, H, W)
+    return _walk(x, y, real, epxn, epyn, kf_gradx, kf_grady, seg,
+                 cur_packed, pose_cur_wrt_kf, cfg.stereo_max_steps,
+                 H, W, cfg)
 
 
 def _interleave_perm(n: int) -> jnp.ndarray:
@@ -434,6 +489,31 @@ def _interleave_perm(n: int) -> jnp.ndarray:
         stride += 1
     return jnp.asarray((np.arange(n, dtype=np.int64) * stride) % n,
                        jnp.int32)
+
+
+def _pool_indices(mask_p: jnp.ndarray, prio_p: jnp.ndarray | None,
+                  cap: int, perm: jnp.ndarray, HW: int):
+    """Pack the True positions of ``mask_p`` (a permuted flat mask) into
+    ``cap`` slots.  ``prio_p`` pixels claim capacity FIRST (the caller
+    passes existing-hypothesis pixels, whose EKF update decays validity
+    when skipped), so overflow only ever drops create attempts.  Returns
+    (flat pixel indices with HW marking empty slots, overflow count)."""
+    n = jnp.sum(mask_p)
+    overflow = jnp.maximum(n - cap, 0)
+    if prio_p is None:
+        (pos,) = jnp.nonzero(mask_p, size=cap, fill_value=HW)
+    else:
+        (pos_u,) = jnp.nonzero(mask_p & prio_p, size=cap, fill_value=HW)
+        (pos_c,) = jnp.nonzero(mask_p & ~prio_p, size=cap, fill_value=HW)
+        n_u = jnp.minimum(jnp.sum(mask_p & prio_p), cap)
+        slot = jnp.arange(cap)
+        pos = jnp.where(slot < n_u, pos_u,
+                        jnp.take(pos_c,
+                                 jnp.clip(slot - n_u, 0, cap - 1)))
+    slot_ok = pos < HW
+    idx = jnp.take(perm, jnp.minimum(pos, HW - 1))   # flat pixel index
+    idx = jnp.where(slot_ok, idx, HW)                # HW = scatter-drop
+    return idx, overflow
 
 
 def line_stereo_compact(run: jnp.ndarray,
@@ -450,66 +530,97 @@ def line_stereo_compact(run: jnp.ndarray,
     """Seed-compacted doLineStereo: only pixels with ``run`` True walk the
     epipolar segment.  Returns (dense StereoResult, overflow count).
 
-    Pixels NOT in ``run`` (and overflow pixels beyond the capacity)
-    report code -5 / zeros — the caller's gating ignores them, and
-    overflow pixels simply retry next frame.  ``priority`` pixels (the
-    caller passes existing-hypothesis pixels, whose EKF update decays
-    validity when skipped) claim capacity FIRST, so overflow only ever
-    drops create attempts — a graceful degradation the uniform interleave
-    then spreads over the image.  Wherever ``run`` holds and capacity
-    suffices the result is IDENTICAL to line_stereo (the computation is
-    elementwise per pixel; tests assert equality).
+    The walk is gather-bound (~7.2 ns/lookup, tools/probe_gather.py), so
+    the kernel spends its gathers only where they can matter:
+
+    1. the gather-free segment setup runs DENSELY first; pixels that fail
+       its pre-checks (codes -1/-4 — OOB, bad geometry) never enter a
+       pool.  Their pre-check codes are reported from the dense plane at
+       zero gather cost (observe()'s EKF treats -1/-4 exactly like
+       unprocessed pixels, so capacity is not spent on them);
+    2. the surviving pixels are split by their EXACT walk length
+       (count_steps — the reference's own mu +- 2 sigma prior bound
+       shortens converged seeds' segments, DepthPropagation.cpp:434-486)
+       into a SHORT pool walking only cfg.stereo_short_steps samples and
+       a LONG pool walking the full cfg.stereo_max_steps; converged
+       seeds dominate in steady state, cutting the per-frame lookup
+       count ~2-3x versus a single full-length pool.
+
+    Pixels dropped by pool capacity report code -5 / zeros — the
+    caller's gating ignores them and they simply retry next frame (the
+    drop count is returned; the golden-ratio interleave spreads drops
+    uniformly over the image).  ``priority`` pixels claim capacity first
+    within each pool.  Wherever ``run`` holds and capacity suffices the
+    result is IDENTICAL to line_stereo: the walk is elementwise per
+    pixel, the pooled segment setup is recomputed bit-identically from
+    the gathered inputs, and a short-pool pixel's full-S walk is
+    provably equal to its short walk because every step beyond
+    count_steps is masked out of the argmin (tests assert equality).
     """
     H, W = kf_image.shape
     HW = H * W
-    cap = int(round(cfg.stereo_compact_frac * HW))
+    S = cfg.stereo_max_steps
+    S_short = cfg.stereo_short_steps
+    cap_long = int(round(cfg.stereo_compact_frac * HW))
+    cap_short = int(round(cfg.stereo_short_frac * HW))
 
     x, y = camera.pixel_grid(H, W)
-    _, _, KR, Kt = _pose_blocks(pose_cur_wrt_kf, cfg)
-    _, _, _, rescale = _pinf_rescale(x, y, prior_idepth, KR, Kt, cfg)
-    real = _kf_descriptor(kf_image, epxn, epyn, rescale, H, W)
+    seg_d = _segment_setup(x, y, epxn, epyn, min_idepth, prior_idepth,
+                           max_idepth, pose_cur_wrt_kf, H, W, cfg)
+    real = _kf_descriptor(kf_image, epxn, epyn, seg_d.rescale, H, W)
 
+    ok = run & (seg_d.code == 0)
     perm = _interleave_perm(HW)
-    run_p = run.ravel()[perm]
-    n_run = jnp.sum(run)
-    overflow = jnp.maximum(n_run - cap, 0)
-    if priority is None:
-        (pos,) = jnp.nonzero(run_p, size=cap, fill_value=HW)
+    prio_p = None if priority is None else priority.ravel()[perm]
+
+    def run_pool(mask, cap, steps):
+        idx, overflow = _pool_indices(mask.ravel()[perm], prio_p, cap,
+                                      perm, HW)
+        gi = jnp.minimum(idx, HW - 1)
+
+        def g(a):
+            return jnp.take(a.reshape(a.shape[:-2] + (HW,)), gi, axis=-1)
+
+        xc = (gi % W).astype(x.dtype)
+        yc = (gi // W).astype(x.dtype)
+        # recompute the segment setup on the pooled pixels from the
+        # gathered raw inputs: same ops on bit-identical values, so the
+        # pooled walk reproduces the dense walk exactly
+        seg = _segment_setup(xc, yc, g(epxn), g(epyn), g(min_idepth),
+                             g(prior_idepth), g(max_idepth),
+                             pose_cur_wrt_kf, H, W, cfg)
+        res = _walk(xc, yc, g(real), g(epxn), g(epyn),
+                    g(kf_gradx), g(kf_grady), seg, cur_packed,
+                    pose_cur_wrt_kf, steps, H, W, cfg)
+        return idx, res, overflow
+
+    if S_short > 0:
+        n_steps = count_steps(seg_d, S)
+        short_m = ok & (n_steps <= S_short)
+        long_m = ok & (n_steps > S_short)
+        idx_s, res_s, ovf_s = run_pool(short_m, cap_short, S_short)
+        idx_l, res_l, ovf_l = run_pool(long_m, cap_long, S)
+        idx = jnp.concatenate([idx_s, idx_l])
+        res = StereoResult(*[jnp.concatenate([a, b])
+                             for a, b in zip(res_s, res_l)])
+        overflow = ovf_s + ovf_l
     else:
-        prio_p = priority.ravel()[perm]
-        (pos_u,) = jnp.nonzero(run_p & prio_p, size=cap, fill_value=HW)
-        (pos_c,) = jnp.nonzero(run_p & ~prio_p, size=cap, fill_value=HW)
-        n_u = jnp.minimum(jnp.sum(run_p & prio_p), cap)
-        slot = jnp.arange(cap)
-        pos = jnp.where(slot < n_u, pos_u,
-                        jnp.take(pos_c,
-                                 jnp.clip(slot - n_u, 0, cap - 1)))
-    slot_ok = pos < HW
-    idx = jnp.take(perm, jnp.minimum(pos, HW - 1))   # flat pixel index
-    idx = jnp.where(slot_ok, idx, HW)                # HW = scatter-drop
+        idx, res, overflow = run_pool(ok, cap_long, S)
 
-    gi = jnp.minimum(idx, HW - 1)
-
-    def g(a):
-        return jnp.take(a.reshape(a.shape[:-2] + (HW,)), gi, axis=-1)
-
-    xc = (gi % W).astype(x.dtype)
-    yc = (gi // W).astype(x.dtype)
-    res = _stereo_core(
-        xc, yc, g(real), g(epxn), g(epyn),
-        g(min_idepth), g(prior_idepth), g(max_idepth),
-        g(kf_gradx), g(kf_grady), cur_packed, pose_cur_wrt_kf,
-        H, W, cfg)
-
-    def scatter(v, default, dtype):
-        out = jnp.full((HW,), default, dtype)
+    def scatter(v, default_plane, dtype):
+        out = default_plane.astype(dtype).ravel()
         return out.at[idx].set(v.astype(dtype), mode="drop").reshape(H, W)
 
+    # pre-check failures (codes -1/-4) come from the dense setup plane;
+    # un-run and capacity-dropped pixels report -5
+    code_bg = jnp.where(run & (seg_d.code != 0), seg_d.code,
+                        jnp.int32(-5))
+    zeros = jnp.zeros((H, W), jnp.float32)
     dense = StereoResult(
-        code=scatter(res.code, -5, jnp.int32),
-        idepth=scatter(res.idepth, 0.0, jnp.float32),
-        var=scatter(res.var, 0.0, jnp.float32),
-        err=scatter(res.err, 0.0, jnp.float32))
+        code=scatter(res.code, code_bg, jnp.int32),
+        idepth=scatter(res.idepth, zeros, jnp.float32),
+        var=scatter(res.var, zeros, jnp.float32),
+        err=scatter(res.err, zeros, jnp.float32))
     return dense, overflow
 
 

@@ -9,7 +9,9 @@ The framework's parallel axes (SURVEY.md §2.3 mapping):
   linearization — the keyframe template is row-sharded and the 6x6
   Hessian / 6-vector blocks are ``psum``-reduced over ICI, replacing the
   reference's 3-thread row striping (PixelWisePyramid.cpp:416-455).
-- ``window``: batch parallelism over loop-closure rematch candidates.
+Loop-closure rematch candidates are batched with plain ``vmap`` inside a
+device (loop/closure.py dispatches the whole window as one batched
+alignment) — they do not get a mesh axis of their own.
 """
 
 from __future__ import annotations

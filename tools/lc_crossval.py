@@ -106,7 +106,9 @@ def run_ours(frames_npz: str, batch_size: int, seed: int) -> list:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--run-dir", default="reference_build/run")
+    # separate dir from the GN-mode parity run (run_gn): the two modes'
+    # outputs/poses_orig.txt would otherwise clobber each other
+    ap.add_argument("--run-dir", default="reference_build/run_lc")
     ap.add_argument("--batch-size", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip-reference", action="store_true")

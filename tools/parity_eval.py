@@ -71,7 +71,9 @@ def rpe_rotation(Ra, Rb, L):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", default="reference_build/run")
+    # run_gn = the GN-mode run dir written by tools/run_reference.py gn
+    # (kept separate from the LC-mode run so neither clobbers the other)
+    ap.add_argument("--input", default="reference_build/run_gn")
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--out", default=None,
                     help="npz with per-frame curves for root-causing")
