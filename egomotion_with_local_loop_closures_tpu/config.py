@@ -113,10 +113,25 @@ class ELLCConfig:
     # stereo_compact_frac * H * W).  stereo_short_steps = 0 disables the
     # split (one full-length pool).  Capacities are sized from measured
     # workload statistics (tools/probe_stereo_stats.py on the 519-frame
-    # parity sequence); overflow is dropped uniformly + surfaced.
-    stereo_compact_frac: float = 0.4
-    stereo_short_steps: int = 12
-    stereo_short_frac: float = 0.25
+    # parity sequence: pre-check pass rate mean 0.193 / max 0.577
+    # (bootstrap frames), existing-seed update pixels mean 0.034 and
+    # always short (sigma-bounded segments), create attempts ~0.16 and
+    # full-length); overflow is dropped uniformly + surfaced, priority
+    # (update) pixels claim capacity first, dropped creates retry on
+    # later frames via the rotating interleave.
+    # Fused-interval cost is LINEAR in total pool capacity (~0.8 ms per
+    # plane-fraction of H*W, tools/probe_interval_sweep.py), so the
+    # capacities below budget lookups: the short tier (cap 0.04, 20
+    # planes) absorbs the sigma-bounded update pixels (measured mean
+    # 0.034) and the full-length tier (cap 0.14, 40 planes) serves
+    # create attempts (measured mean ~0.16; bootstrap frames demand up
+    # to 0.58 and overflow — dropped creates retry on later frames via
+    # the rotating interleave, trading a few frames of depth-map
+    # convergence lag for ~35% less walk cost; parity vs the reference
+    # binary re-validated in BASELINE.md after this retuning).
+    stereo_compact_frac: float = 0.14
+    stereo_short_steps: int = 16
+    stereo_short_frac: float = 0.04
     stereo_pack_u8: bool = True
 
     # --- depth filter / EKF (EV:120-143) --------------------------------

@@ -146,6 +146,7 @@ class SegmentSetup(NamedTuple):
     pclose_x: jnp.ndarray
     pclose_y: jnp.ndarray
     rescale: jnp.ndarray
+    walk_len: jnp.ndarray   # |pclose - pfar| after all clamps (pixels)
 
 
 def _segment_setup(x, y, epxn, epyn,
@@ -250,7 +251,7 @@ def _segment_setup(x, y, epxn, epyn,
     return SegmentSetup(code=code, pfar_x=pfar_x, pfar_y=pfar_y,
                         incx=incx, incy=incy,
                         pclose_x=pclose_x, pclose_y=pclose_y,
-                        rescale=rescale)
+                        rescale=rescale, walk_len=new_len)
 
 
 def _step_cond(seg: SegmentSetup, S: int):
@@ -497,23 +498,28 @@ def _pool_indices(mask_p: jnp.ndarray, prio_p: jnp.ndarray | None,
     ``cap`` slots.  ``prio_p`` pixels claim capacity FIRST (the caller
     passes existing-hypothesis pixels, whose EKF update decays validity
     when skipped), so overflow only ever drops create attempts.  Returns
-    (flat pixel indices with HW marking empty slots, overflow count)."""
+    (flat pixel indices with HW marking empty slots, overflow count).
+
+    Layout: each selected pixel computes its own pool slot with cumsums
+    (priority pixels rank first, others after all priority ones) and
+    scatters its pixel id there — one pass over HW + one cap-sized
+    scatter, several times cheaper than jnp.nonzero(size=cap) per class
+    (measured in tools/probe_stereo_breakdown.py)."""
     n = jnp.sum(mask_p)
     overflow = jnp.maximum(n - cap, 0)
     if prio_p is None:
-        (pos,) = jnp.nonzero(mask_p, size=cap, fill_value=HW)
+        rank = jnp.cumsum(mask_p.astype(jnp.int32)) - 1
+        slot = jnp.where(mask_p, rank, cap)
     else:
-        (pos_u,) = jnp.nonzero(mask_p & prio_p, size=cap, fill_value=HW)
-        (pos_c,) = jnp.nonzero(mask_p & ~prio_p, size=cap, fill_value=HW)
-        n_u = jnp.minimum(jnp.sum(mask_p & prio_p), cap)
-        slot = jnp.arange(cap)
-        pos = jnp.where(slot < n_u, pos_u,
-                        jnp.take(pos_c,
-                                 jnp.clip(slot - n_u, 0, cap - 1)))
-    slot_ok = pos < HW
-    idx = jnp.take(perm, jnp.minimum(pos, HW - 1))   # flat pixel index
-    idx = jnp.where(slot_ok, idx, HW)                # HW = scatter-drop
-    return idx, overflow
+        mp = mask_p & prio_p
+        mc = mask_p & ~prio_p
+        n_p = jnp.sum(mp)
+        rank_p = jnp.cumsum(mp.astype(jnp.int32)) - 1
+        rank_c = n_p + jnp.cumsum(mc.astype(jnp.int32)) - 1
+        slot = jnp.where(mp, rank_p, jnp.where(mc, rank_c, cap))
+    slot = jnp.minimum(slot, cap)                    # overflow -> drop slot
+    pool = jnp.full((cap + 1,), HW, jnp.int32).at[slot].set(perm)
+    return pool[:cap], overflow
 
 
 def line_stereo_compact(run: jnp.ndarray,
@@ -571,11 +577,28 @@ def line_stereo_compact(run: jnp.ndarray,
 
     ok = run & (seg_d.code == 0)
     perm = _interleave_perm(HW)
-    prio_p = None if priority is None else priority.ravel()[perm]
 
-    def run_pool(mask, cap, steps):
-        idx, overflow = _pool_indices(mask.ravel()[perm], prio_p, cap,
-                                      perm, HW)
+    # pack (ok, short-tier, priority) into ONE flag plane so the permuted
+    # reorder costs a single HW gather instead of three (measured in
+    # tools/probe_stereo_breakdown.py)
+    if S_short > 0:
+        # conservative walk-length bound: the walk takes at most
+        # walk_len / gradient_sample_dist + 2 steps (|inc| == gsd; +1 for
+        # the fencepost, +1 for float fuzz), so "bound <= S_short" pixels
+        # provably reproduce their full-S walk in the short tier
+        short_d = seg_d.walk_len / cfg.gradient_sample_dist + 2.0 <= S_short
+    else:
+        short_d = jnp.zeros((H, W), bool)
+    flags = (ok.astype(jnp.int32) | (short_d.astype(jnp.int32) << 1))
+    if priority is not None:
+        flags = flags | (priority.astype(jnp.int32) << 2)
+    flags_p = flags.ravel()[perm]
+    ok_p = (flags_p & 1) != 0
+    short_p = (flags_p & 2) != 0
+    prio_p = ((flags_p & 4) != 0) if priority is not None else None
+
+    def run_pool(mask_p, cap, steps):
+        idx, overflow = _pool_indices(mask_p, prio_p, cap, perm, HW)
         gi = jnp.minimum(idx, HW - 1)
 
         def g(a):
@@ -595,17 +618,14 @@ def line_stereo_compact(run: jnp.ndarray,
         return idx, res, overflow
 
     if S_short > 0:
-        n_steps = count_steps(seg_d, S)
-        short_m = ok & (n_steps <= S_short)
-        long_m = ok & (n_steps > S_short)
-        idx_s, res_s, ovf_s = run_pool(short_m, cap_short, S_short)
-        idx_l, res_l, ovf_l = run_pool(long_m, cap_long, S)
+        idx_s, res_s, ovf_s = run_pool(ok_p & short_p, cap_short, S_short)
+        idx_l, res_l, ovf_l = run_pool(ok_p & ~short_p, cap_long, S)
         idx = jnp.concatenate([idx_s, idx_l])
         res = StereoResult(*[jnp.concatenate([a, b])
                              for a, b in zip(res_s, res_l)])
         overflow = ovf_s + ovf_l
     else:
-        idx, res, overflow = run_pool(ok, cap_long, S)
+        idx, res, overflow = run_pool(ok_p, cap_long, S)
 
     def scatter(v, default_plane, dtype):
         out = default_plane.astype(dtype).ravel()

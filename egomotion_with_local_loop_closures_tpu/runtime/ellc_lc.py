@@ -77,9 +77,15 @@ def _track_batch(state: pipeline.PipelineState,
     Returns the new state and the batch record.  ``frames`` excludes the
     keyframe itself.  ``base_world`` anchors the loop window's poses in
     the global corrected frame so matches work across batch rebasements.
+
+    Keyframe ids follow the reference's frame_counter % K == 0 rule
+    (main.cpp:404): a batch starting at frame 1 tracks K-1 frames in its
+    first interval (keyframes land at K, 2K, ...); batches starting at a
+    keyframe track full K-frame intervals.
     """
     K = cfg.keyframe_interval
-    assert len(frames) % K == 0
+    first = start_frame_id == 1
+    assert (len(frames) + (1 if first else 0)) % K == 0
     if base_world is None:
         base_world = np.zeros(6, np.float32)
     from egomotion_with_local_loop_closures_tpu.depth import state as dstate
@@ -90,11 +96,13 @@ def _track_batch(state: pipeline.PipelineState,
                       start_depth=depth0, start_var=var0)
     kf_id = start_frame_id
     fid = start_frame_id
-    for b in range(0, len(frames), K):
-        chunk = jnp.asarray(np.stack(frames[b:b + K]))
+    b = 0
+    while b < len(frames):
+        size = (K - 1) if (first and b == 0) else K
+        chunk = jnp.asarray(np.stack(frames[b:b + size]))
         rots = None
         if init_rotations is not None:
-            rots = jnp.asarray(init_rotations[b:b + K])
+            rots = jnp.asarray(init_rotations[b:b + size])
         state, outs, snapshot = pipeline.process_interval(
             state, chunk, cfg, replay=replay, init_rotations=rots)
         outs = jax.tree.map(np.asarray, outs)
@@ -109,11 +117,12 @@ def _track_batch(state: pipeline.PipelineState,
             for e in edges:
                 rec.loop_rows.append([e.frame_id, e.matched_kf_id,
                                       *e.pose_wrt_matched])
-        for j in range(K):
+        for j in range(size):
             fid += 1
             rec.pose_rows.append([fid, kf_id, *outs.pose_wrt_world[j]])
             rec.odometry_rows.append([fid, kf_id, *outs.pose_wrt_kf[j]])
         kf_id = fid
+        b += size
     return state, rec
 
 
@@ -160,7 +169,11 @@ def run_ellc_lc(frames: Iterable[np.ndarray], cfg: ELLCConfig,
     while not done and frame_id < limit:
         batch_props = (cfg.ra_batch_size_bootstrap if batch_no == 0
                        else cfg.ra_batch_size)
-        want = batch_props * K
+        # the bootstrap batch starts at frame 1 whose first interval is
+        # K-1 frames (keyframes at K, 2K, ... — main.cpp:404 rule), so it
+        # consumes one frame less than batch_props * K
+        first = frame_id == 1
+        want = batch_props * K - (1 if first else 0)
         buf: List[np.ndarray] = []
         while len(buf) < want and frame_id + len(buf) < limit:
             try:
@@ -168,7 +181,10 @@ def run_ellc_lc(frames: Iterable[np.ndarray], cfg: ELLCConfig,
             except StopIteration:
                 done = True
                 break
-        usable = (len(buf) // K) * K
+        if first:
+            usable = max(((len(buf) + 1) // K) * K - 1, 0)
+        else:
+            usable = (len(buf) // K) * K
         extra_frames = buf[usable:]
         buf = buf[:usable]
         if usable == 0:
@@ -299,7 +315,8 @@ def _sim3_refine_trajectory(ids: np.ndarray, poses: np.ndarray,
     stays as the test golden the BA solver is equality-tested against)."""
     from egomotion_with_local_loop_closures_tpu.graph import ba, sim3
 
-    kf_mask = (ids - 1) % cfg.keyframe_interval == 0
+    # keyframes fall on ids divisible by K (main.cpp:404 convention)
+    kf_mask = ids % cfg.keyframe_interval == 0
     kf_idx = np.nonzero(kf_mask)[0]
     if len(kf_idx) < 3:
         return None

@@ -131,8 +131,16 @@ def run_sequence(frames: Iterable[np.ndarray], cfg: ELLCConfig,
     buf: List[np.ndarray] = []
     done = False
     while not done:
+        # Keyframe ids follow the reference's frame_counter % K == 0 rule
+        # (main.cpp:404): the FIRST interval tracks only K-1 frames
+        # (frames 2..K against keyframe 1), so keyframes land on ids
+        # K, 2K, 3K... exactly like the reference — comparison tools need
+        # no id remapping.  A resumed run starts at a keyframe, so only a
+        # fresh start (frame_id == 1) shortens the first chunk.
+        first = frame_id == 1
+        want = (K - 1) if first else K * ipd
         buf.clear()
-        while len(buf) < K * ipd:
+        while len(buf) < want:
             try:
                 buf.append(np.asarray(next(it)))
             except StopIteration:
@@ -144,19 +152,21 @@ def run_sequence(frames: Iterable[np.ndarray], cfg: ELLCConfig,
         if not buf:
             break
 
-        n_full = len(buf) // K
-        tail = buf[n_full * K:]
+        if first:
+            n_full = 1 if len(buf) == K - 1 else 0
+            tail = [] if n_full else buf
+            full_upto = n_full * (K - 1)
+        else:
+            n_full = len(buf) // K
+            tail = buf[n_full * K:]
+            full_upto = n_full * K
         outs = None
-        if n_full > 1:
-            stacked = jnp.asarray(np.stack(buf[:n_full * K])).reshape(
-                n_full, K, *buf[0].shape)
-            state, outs, _ = pipeline.process_intervals(state, stacked, cfg)
-            outs = jax.tree.map(
-                lambda a: np.asarray(a).reshape(n_full * K, *a.shape[2:]),
-                outs)
-        elif n_full == 1:
+        snapshot = None
+        if n_full == 1:
+            # one interval (the only dispatch shape when the loop window
+            # is active, and always for the K-1-frame first interval)
             state, outs, snapshot = pipeline.process_interval(
-                state, jnp.asarray(np.stack(buf[:K])), cfg)
+                state, jnp.asarray(np.stack(buf[:full_upto])), cfg)
             outs = jax.tree.map(np.asarray, outs)
             if closer is not None and snapshot is not None:
                 # push the finalized OLD keyframe (pushToArray,
@@ -174,6 +184,13 @@ def run_sequence(frames: Iterable[np.ndarray], cfg: ELLCConfig,
                                      e.pose_wrt_matched, e.rescale, e.seeds,
                                      extras=(e.match_value, e.rms_error,
                                              e.view_angle))
+        elif n_full > 1:
+            stacked = jnp.asarray(np.stack(buf[:n_full * K])).reshape(
+                n_full, K, *buf[0].shape)
+            state, outs, _ = pipeline.process_intervals(state, stacked, cfg)
+            outs = jax.tree.map(
+                lambda a: np.asarray(a).reshape(n_full * K, *a.shape[2:]),
+                outs)
         if tail:
             # tail shorter than an interval: per-frame steps, no final KF
             outs_list = []
@@ -185,7 +202,7 @@ def run_sequence(frames: Iterable[np.ndarray], cfg: ELLCConfig,
             outs = tail_outs if outs is None else jax.tree.map(
                 lambda a, b: np.concatenate([a, b], axis=0), outs, tail_outs)
 
-        n = n_full * K + len(tail)
+        n = full_upto + len(tail)
         for j in range(n):
             frame_id += 1
             ids.append(frame_id)
@@ -196,7 +213,8 @@ def run_sequence(frames: Iterable[np.ndarray], cfg: ELLCConfig,
             if pose_w:
                 pose_w.write(frame_id, kf_id, outs.pose_wrt_world[j],
                              outs.rescale[j], outs.seeds[j])
-            is_kf = (j < n_full * K and (j + 1) % K == 0)
+            # keyframes fall on frame ids divisible by K (main.cpp:404)
+            is_kf = (j < full_upto and frame_id % K == 0)
             if match_w and is_kf:
                 match_w.write(frame_id, kf_id, outs.pose_wrt_kf[j],
                               outs.rescale[j], outs.seeds[j])
@@ -264,7 +282,6 @@ def _run_with_recovery(it, state: "pipeline.PipelineState", cfg: ELLCConfig,
 
     frame_id = 1
     kf_id = 1
-    since_kf = 0
     limit = max_frames if max_frames is not None else cfg.max_frames
 
     for img in it:
@@ -298,11 +315,12 @@ def _run_with_recovery(it, state: "pipeline.PipelineState", cfg: ELLCConfig,
                 pose_w.write(frame_id, kf_id, np.asarray(rec.world_pose),
                              float(rec.rescale), rec.seeds)
             kf_id = frame_id
-            since_kf = 0
             continue
 
-        since_kf += 1
-        if since_kf == cfg.keyframe_interval:
+        # keyframe propagation on frame ids divisible by K, exactly the
+        # reference's frame_counter % KEYFRAME_PROPAGATE_INTERVAL == 0
+        # rule (main.cpp:404) — it keeps ticking through recoveries
+        if frame_id % cfg.keyframe_interval == 0:
             state, out, snapshot = pipeline.keyframe_step(state, image, cfg)
             out = jax.tree.map(np.asarray, out)
             if snapshot is not None:
@@ -340,7 +358,6 @@ def _run_with_recovery(it, state: "pipeline.PipelineState", cfg: ELLCConfig,
                          out.rescale, out.seeds)
         if is_kf:
             kf_id = frame_id
-            since_kf = 0
 
     for w in (pose_w, match_w, loop_w):
         if w:

@@ -174,6 +174,28 @@ def trajectory(num_frames: int, seed: int = 0,
     return jnp.asarray(np.stack(poses))
 
 
+def loop_trajectory(num_frames: int, seed: int = 0,
+                    rot_amp: float = 0.10, trans_amp: float = 0.15,
+                    base_period: float = 240.0) -> np.ndarray:
+    """A BOUNDED smooth trajectory for arbitrarily long sequences: a sum
+    of low-frequency sinusoids at incommensurate periods per axis, so the
+    camera oscillates inside the room forever (a random walk exits the
+    scene after a few hundred frames) and genuinely revisits earlier
+    viewpoints — the egocentric "local loop closure" workload the
+    reference targets (README.md:7-8).  Returns (num_frames, 6) float32
+    poseWrtWorld twists starting at identity."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(num_frames, dtype=np.float64)
+    ratios = np.array([1.0, 1.37, 1.93, 2.41, 3.17, 3.89])
+    phases = rng.uniform(0, 2 * np.pi, size=6)
+    amps = np.array([rot_amp] * 3 + [trans_amp] * 3) \
+        * rng.uniform(0.6, 1.0, size=6)
+    w = 2 * np.pi * ratios / base_period
+    xi = amps[None, :] * (np.sin(w[None, :] * t[:, None] + phases[None, :])
+                          - np.sin(phases)[None, :])
+    return xi.astype(np.float32)
+
+
 def render_sequence(scene: PlaneScene, poses: jnp.ndarray,
                     rows: int, cols: int,
                     fx: float, fy: float, cx: float, cy: float):

@@ -73,10 +73,12 @@ def test_loop_closure_emits_edges_on_revisit(tmp_path):
     edges = res.extra["loop_edges"]
     assert len(edges) >= 1, "revisit produced no loop-closure edges"
     e = edges[0]
-    assert e.frame_id == 17 and e.matched_kf_id == 1
+    # keyframes land on ids divisible by 8 (main.cpp:404 convention):
+    # KF 16 (one frame from full return) matches KF 1, gap 15 > 8
+    assert e.frame_id == 16 and e.matched_kf_id == 1
     # the rematch pose should be small (nearly the same viewpoint) and
-    # close to the ground-truth relative pose frame17-wrt-frame1
-    rel_gt = lie.relative(gt[16], gt[0])
+    # close to the ground-truth relative pose frame16-wrt-frame1
+    rel_gt = lie.relative(gt[15], gt[0])
     d = np.asarray(e.pose_wrt_matched) - np.asarray(rel_gt)
     assert np.abs(d[:3]).max() < 0.02, f"edge rotation off: {d}"
     # edge file written in the reference format
@@ -85,7 +87,7 @@ def test_loop_closure_emits_edges_on_revisit(tmp_path):
     rows = ellc_io.read_pose_file(
         os.path.join(tmp_path, "matchframes_globalopt.txt"))
     assert rows.shape[1] == 13
-    assert rows[0, 0] == 17 and rows[0, 1] == 1
+    assert rows[0, 0] == 16 and rows[0, 1] == 1
 
 
 def test_no_edges_without_revisit(tmp_path):

@@ -32,8 +32,9 @@ def test_run_sequence_end_to_end(tmp_path):
                               out_dir=str(tmp_path))
     assert len(res.frame_ids) == 16           # frames 2..17 tracked
     assert res.frame_ids[0] == 2
-    # keyframes every 8 frames after frame 1: kf ids 1, 9, 17
-    assert list(np.unique(res.kf_ids)) == [1, 9]
+    # keyframes on ids divisible by 8 (the reference's frame_counter % 8
+    # rule, main.cpp:404): frames 2-8 track KF 1, 9-16 KF 8, 17 KF 16
+    assert list(np.unique(res.kf_ids)) == [1, 8, 16]
     # In pure GN mode the bootstrap error (tracking against random depth in
     # interval 1) persists in the world-pose chain — the reference relies
     # on rotation averaging to remove it.  What must be accurate by the end
@@ -55,8 +56,8 @@ def test_run_sequence_end_to_end(tmp_path):
     matches = ellc_io.read_pose_file(os.path.join(tmp_path,
                                                   "matchframes.txt"))
     assert matches.shape[1] == 13            # 3 trailing zeros
-    assert list(matches[:, 0]) == [9.0, 17.0]
-    assert list(matches[:, 1]) == [1.0, 9.0]
+    assert list(matches[:, 0]) == [8.0, 16.0]
+    assert list(matches[:, 1]) == [1.0, 8.0]
     # seeds stay healthy after keyframe propagation
     assert res.seeds[-1] > 20.0
 

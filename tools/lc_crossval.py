@@ -91,7 +91,9 @@ def run_ours(frames_npz: str, batch_size: int, seed: int) -> list:
     # process_interval produce the keyframe snapshots the closer consumes
     cfg = ELLCConfig(do_loop_closure=True)
     frames = np.load(frames_npz)["frames"]
-    n = batch_size * cfg.keyframe_interval
+    # batch starting at frame 1: first interval is K-1 frames, keyframes
+    # at K, 2K, ... — identical ids to the reference (main.cpp:404)
+    n = batch_size * cfg.keyframe_interval - 1
     if len(frames) < n + 1:
         raise SystemExit(f"need {n + 1} frames, have {len(frames)}")
     state = pipeline.init_pipeline(jnp.asarray(frames[0]),
@@ -121,19 +123,11 @@ def main() -> int:
     ours = run_ours(os.path.join(args.run_dir, "frames_480x270.npz"),
                     args.batch_size, args.seed)
 
-    # Keyframe-boundary convention: the reference propagates when
-    # frame_counter % K == 0 (main.cpp:404), so its FIRST interval tracks
-    # only K-1 frames and its keyframes are 8, 16, 24...; this framework
-    # uses uniform K-frame intervals, keyframes 9, 17, 25...  The edge
-    # graphs are isomorphic under ref_id = our_id - 1 (except the shared
-    # initial keyframe 1); compare under that map.  Documented deviation —
-    # paired statistics below therefore compare edges computed on
-    # one-frame-apart keyframes.
-    def to_ref(i):
-        return 1 if i == 1 else i - 1
-
+    # Keyframe ids match the reference exactly since round 4 (the first
+    # interval tracks K-1 frames, so keyframes are 8, 16, 24... on both
+    # sides — main.cpp:404 convention); edge pairs compare directly.
     ref_pairs = {(r["frame"], r["matched"]): r for r in ref}
-    our_pairs = {(to_ref(r["frame"]), to_ref(r["matched"])): r for r in ours}
+    our_pairs = {(r["frame"], r["matched"]): r for r in ours}
     common = sorted(set(ref_pairs) & set(our_pairs))
     only_ref = sorted(set(ref_pairs) - set(our_pairs))
     only_ours = sorted(set(our_pairs) - set(ref_pairs))

@@ -99,13 +99,25 @@ def main() -> int:
     cfg = ELLCConfig()
     if args.no_window_warp:
         cfg = cfg.replace(use_window_warp=False)
+    # stereo-pool capacity overrides for capacity/fidelity tuning sweeps
+    if os.environ.get("PARITY_CAPS"):
+        long_f, short_f, short_s = os.environ["PARITY_CAPS"].split(",")
+        cfg = cfg.replace(stereo_compact_frac=float(long_f),
+                          stereo_short_frac=float(short_f),
+                          stereo_short_steps=int(short_s))
     n = args.max_frames or len(frames)
     res = runner.run_sequence(iter(frames[:n]), cfg, seed=args.seed)
 
-    # the window where the reference itself still tracks: seeds > 0 and
-    # finite rescale (it diverges partway through the synthetic sequence)
+    # the comparison window: the synthetic sequence has a low-texture
+    # section where BOTH systems eventually lose tracking (the reference
+    # dies with seeds -> 0 / NaN rescale, main.cpp:361-384 keeps writing
+    # rows); dying-frame poses are garbage on either side, so compare
+    # only while BOTH still track (seeds > 0, finite)
     ok = np.isfinite(ref["rescale"]) & (ref["seeds"] > 0)
-    last_good = int(ref["frame_id"][ok].max()) if ok.any() else 0
+    ref_last = int(ref["frame_id"][ok].max()) if ok.any() else 0
+    ours_ok = res.seeds > 0
+    ours_last = int(res.frame_ids[ours_ok].max()) if ours_ok.any() else 0
+    last_good = min(ref_last, ours_last)
 
     common = sorted(set(ref["frame_id"].tolist())
                     & set(res.frame_ids.tolist()))
@@ -128,7 +140,9 @@ def main() -> int:
     K = cfg.keyframe_interval
     out = {
         "frames_compared": len(common),
-        "reference_tracks_until": last_good,
+        "reference_tracks_until": ref_last,
+        "ours_tracks_until": ours_last,
+        "compared_until": last_good,
         "rotation_vs_reference": rot,
         "ate_sim3_aligned": ate,
     }

@@ -1,9 +1,19 @@
 """Measure the line-stereo workload statistics that size the compacted
-kernel: what fraction of pixels actually run stereo per frame, and how
-many epipolar steps each running pixel needs (DepthPropagation.cpp walks
-a data-dependent count; the dense kernel pays stereo_max_steps for all).
+two-tier kernel (depth/stereo.py):
 
-Run on the parity input (reference_build/run/frames_480x270.npz).
+  * run fraction    — pixels passing the observation gates
+    (DepthPropagation.cpp:224-235) + EPL pre-check per frame;
+  * ok fraction     — of those, pixels passing the segment pre-checks
+    (codes -1/-4 never claim pool capacity);
+  * step histogram  — EXACT per-pixel walk length (stereo.count_steps,
+    the data-dependent count the reference walks,
+    DepthPropagation.cpp:628), which sizes stereo_short_steps and the
+    short/long pool capacities.
+
+Input: an npz with a ``frames`` array (default the parity input
+reference_build/run/frames_480x270.npz; any sequence works).
+
+Usage: python tools/probe_stereo_stats.py [npz] [n_frames]
 """
 import sys
 
@@ -12,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from egomotion_with_local_loop_closures_tpu.config import ELLCConfig
-from egomotion_with_local_loop_closures_tpu.depth import state as dstate
 from egomotion_with_local_loop_closures_tpu.geom import camera, lie
 from egomotion_with_local_loop_closures_tpu.runtime import pipeline
 from egomotion_with_local_loop_closures_tpu.depth import stereo
@@ -20,11 +29,15 @@ from egomotion_with_local_loop_closures_tpu.depth import stereo
 _ = float(jnp.asarray(1.0) + 1.0)
 
 cfg = ELLCConfig()
-frames = np.load("reference_build/run/frames_480x270.npz")["frames"]
-n = int(sys.argv[1]) if len(sys.argv) > 1 else 49
+path = sys.argv[1] if len(sys.argv) > 1 else \
+    "reference_build/run/frames_480x270.npz"
+frames = np.load(path)["frames"]
+n = int(sys.argv[2]) if len(sys.argv) > 2 else 49
 
 state = pipeline.init_pipeline(jnp.asarray(frames[0]), jax.random.PRNGKey(0),
                                cfg)
+
+S = cfg.stereo_max_steps
 
 
 @jax.jit
@@ -48,59 +61,58 @@ def probe(state, image):
                                               cfg)
     run = do_pixel & epl_ok
 
-    # epipolar length each running pixel actually needs (the clamped /
-    # cropped length of doLineStereo, :397-553) -- recompute the key
-    # quantities the way line_stereo does
+    # exactly the search band observe() uses (create vs update)
     sv = jnp.sqrt(jnp.maximum(st.var_smoothed, 0.0))
     upd_min = jnp.clip(st.idepth_smoothed - sv * cfg.stereo_epl_var_fac,
                        0.0, None)
     upd_max = jnp.minimum(st.idepth_smoothed + sv * cfg.stereo_epl_var_fac,
                           1.0 / cfg.min_depth)
     min_id = jnp.where(has_hyp, upd_min, 0.0)
+    prior = jnp.where(has_hyp, st.idepth_smoothed, 1.0)
     max_id = jnp.where(has_hyp, upd_max, 1.0 / cfg.min_depth)
 
-    K = camera.intrinsics_matrix(cfg.fx, cfg.fy, cfg.cx, cfg.cy)
-    R, t = T[:3, :3], T[:3, 3]
-    KR, Kt = K @ R, K @ t
-    kx = (x - cfg.cx) / cfg.fx
-    ky = (y - cfg.cy) / cfg.fy
-    pinf = jnp.stack([KR[0, 0] * kx + KR[0, 1] * ky + KR[0, 2],
-                      KR[1, 0] * kx + KR[1, 1] * ky + KR[1, 2],
-                      KR[2, 0] * kx + KR[2, 1] * ky + KR[2, 2]], axis=0)
-    pclose = pinf + Kt[:, None, None] * max_id
-    pclose = pclose / jnp.where(jnp.abs(pclose[2]) > 1e-12, pclose[2], 1e-12)
-    pfar = pinf + Kt[:, None, None] * min_id
-    pfar = pfar / jnp.where(jnp.abs(pfar[2]) > 1e-12, pfar[2], 1e-12)
-    epl_len = jnp.sqrt((pclose[0] - pfar[0]) ** 2 + (pclose[1] - pfar[1]) ** 2)
-    epl_len = jnp.minimum(epl_len, cfg.max_epl_length_crop)
-    epl_len = jnp.maximum(epl_len, cfg.min_epl_length_crop)
-
-    return (run, has_hyp & run, epl_len)
+    seg = stereo._segment_setup(x, y, epxn, epyn, min_id, prior, max_id,
+                                pose, H, W, cfg)
+    ok = run & (seg.code == 0)
+    nsteps = stereo.count_steps(seg, S)
+    hist = jnp.zeros(S + 1, jnp.int32).at[
+        jnp.where(ok, nsteps, S)].add(ok.astype(jnp.int32))
+    return (jnp.mean(run.astype(jnp.float32)),
+            jnp.mean(ok.astype(jnp.float32)),
+            jnp.mean((ok & has_hyp).astype(jnp.float32)),
+            hist)
 
 
-hist = np.zeros(64)
-runs, upds = [], []
+runs, oks, upds = [], [], []
+hist = np.zeros(S + 1)
 for i in range(1, n + 1):
-    run, upd, epl = probe(state, jnp.asarray(frames[i]))
-    run_np = np.asarray(run)
-    runs.append(run_np.mean())
-    upds.append(np.asarray(upd).mean())
-    lens = np.asarray(epl)[run_np]
-    h, _ = np.histogram(lens, bins=64, range=(0, 32))
-    hist += h
-    if i % cfg.keyframe_interval == 0:
+    r, o, u, h = probe(state, jnp.asarray(frames[i]))
+    runs.append(float(r)); oks.append(float(o)); upds.append(float(u))
+    hist += np.asarray(h)
+    if (i + 1) % cfg.keyframe_interval == 0:   # frame_id = i + 1
         state, _, _ = pipeline.keyframe_step(state, jnp.asarray(frames[i]),
                                              cfg)
     else:
         state, _ = pipeline.track_refine_step(state, jnp.asarray(frames[i]),
                                               cfg)
 
-runs = np.asarray(runs)
-print(f"frames probed: {n}")
-print(f"run fraction: mean {runs.mean():.3f}  max {runs.max():.3f} "
-      f"(of {frames[0].size} px)")
+runs, oks = np.asarray(runs), np.asarray(oks)
+print(f"frames probed: {n}  (S = {S})")
+print(f"run  fraction (gates+EPL):  mean {runs.mean():.3f}"
+      f"  max {runs.max():.3f}")
+print(f"ok   fraction (+prechecks): mean {oks.mean():.3f}"
+      f"  max {oks.max():.3f}")
 print(f"update(has-prior) fraction: mean {np.mean(upds):.3f}")
 cum = np.cumsum(hist) / hist.sum()
-for q in (0.5, 0.8, 0.9, 0.95, 0.99, 1.0):
-    k = np.searchsorted(cum, q)
-    print(f"epl_len p{int(q*100)}: {k * 0.5:.1f} px")
+for q in (0.5, 0.7, 0.8, 0.9, 0.95, 0.99, 1.0):
+    k = int(np.searchsorted(cum, q))
+    print(f"steps p{int(q * 100)}: {k}")
+for s_short in (8, 10, 12, 16, 20):
+    frac_short = hist[:s_short + 1].sum() / hist.sum()
+    # lookup model: short pixels walk s_short+4 planes, long walk S+4
+    mean_ok = oks.mean()
+    lk = mean_ok * (frac_short * (s_short + 4)
+                    + (1 - frac_short) * (S + 4))
+    print(f"S_short={s_short:3d}: short frac of ok px {frac_short:.3f}, "
+          f"walk lookups/px {lk:.2f} (dense-S equivalent "
+          f"{mean_ok * (S + 4):.2f})")
