@@ -191,36 +191,36 @@ def run_sequence(frames: Iterable[np.ndarray], cfg: ELLCConfig,
             outs = jax.tree.map(
                 lambda a: np.asarray(a).reshape(n_full * K, *a.shape[2:]),
                 outs)
-        if tail:
-            # tail shorter than an interval: per-frame steps, no final KF
-            outs_list = []
-            for img in tail:
-                state, o = pipeline.track_refine_step(state, jnp.asarray(img),
-                                                      cfg)
-                outs_list.append(jax.tree.map(np.asarray, o))
-            tail_outs = jax.tree.map(lambda *xs: np.stack(xs), *outs_list)
-            outs = tail_outs if outs is None else jax.tree.map(
-                lambda a, b: np.concatenate([a, b], axis=0), outs, tail_outs)
+        def emit(block_outs, n, kf_eligible):
+            nonlocal frame_id, kf_id
+            for j in range(n):
+                frame_id += 1
+                ids.append(frame_id)
+                kfids.append(kf_id)
+                poses.append(block_outs.pose_wrt_world[j])
+                rescales.append(float(block_outs.rescale[j]))
+                seeds_l.append(float(block_outs.seeds[j]))
+                if pose_w:
+                    pose_w.write(frame_id, kf_id,
+                                 block_outs.pose_wrt_world[j],
+                                 block_outs.rescale[j], block_outs.seeds[j])
+                # keyframes fall on ids divisible by K (main.cpp:404)
+                is_kf = kf_eligible and frame_id % K == 0
+                if match_w and is_kf:
+                    match_w.write(frame_id, kf_id, block_outs.pose_wrt_kf[j],
+                                  block_outs.rescale[j], block_outs.seeds[j])
+                if is_kf:
+                    kf_id = frame_id
 
-        n = full_upto + len(tail)
-        for j in range(n):
-            frame_id += 1
-            ids.append(frame_id)
-            kfids.append(kf_id)
-            poses.append(outs.pose_wrt_world[j])
-            rescales.append(float(outs.rescale[j]))
-            seeds_l.append(float(outs.seeds[j]))
-            if pose_w:
-                pose_w.write(frame_id, kf_id, outs.pose_wrt_world[j],
-                             outs.rescale[j], outs.seeds[j])
-            # keyframes fall on frame ids divisible by K (main.cpp:404)
-            is_kf = (j < full_upto and frame_id % K == 0)
-            if match_w and is_kf:
-                match_w.write(frame_id, kf_id, outs.pose_wrt_kf[j],
-                              outs.rescale[j], outs.seeds[j])
-            if is_kf:
-                kf_id = frame_id
+        if outs is not None:
+            emit(outs, full_upto, kf_eligible=True)
 
+        # checkpoints are INTERVAL-ALIGNED: saved before any sub-interval
+        # tail processing, so a resumed run restarts exactly at a
+        # keyframe boundary and replays the remaining intervals with the
+        # same dispatch structure as an uninterrupted run (the
+        # reference's batch restart is likewise keyframe-aligned,
+        # main.cpp:156-166)
         if n_full:
             prev_done = intervals_done
             intervals_done += n_full
@@ -229,6 +229,16 @@ def run_sequence(frames: Iterable[np.ndarray], cfg: ELLCConfig,
                     prev_done // checkpoint_every:
                 ckpt_mgr.save(frame_id, state,
                               meta={"frame_id": frame_id, "kf_id": kf_id})
+
+        if tail:
+            # tail shorter than an interval: per-frame steps, no final KF
+            outs_list = []
+            for img in tail:
+                state, o = pipeline.track_refine_step(state, jnp.asarray(img),
+                                                      cfg)
+                outs_list.append(jax.tree.map(np.asarray, o))
+            tail_outs = jax.tree.map(lambda *xs: np.stack(xs), *outs_list)
+            emit(tail_outs, len(tail), kf_eligible=False)
 
     if pose_w:
         pose_w.close()

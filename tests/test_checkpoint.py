@@ -68,16 +68,25 @@ def test_resume_continues_identically(tmp_path):
     FLAG_REPLICATE_NEW_DEPTH fixture mechanism, SURVEY §4)."""
     n = 3 * CFG.keyframe_interval + 1
     imgs = _images(n)
-    full = runner.run_sequence(iter(imgs), CFG, out_dir=None)
+    # per-interval dispatch on BOTH sides: checkpoints are interval-
+    # aligned, so the resumed run replays the remaining intervals with
+    # the exact same dispatch graphs as the uninterrupted run (chunked
+    # multi-interval dispatch would fuse several intervals into one scan
+    # whose float reassociation differs at the ~1e-4 level — covered by
+    # test_runner_chunked_dispatch_matches_per_interval)
+    full = runner.run_sequence(iter(imgs), CFG, out_dir=None,
+                               intervals_per_dispatch=1)
 
     ck = str(tmp_path / "ck")
     # first leg: checkpoint after every interval, stop after 2 intervals
     runner.run_sequence(iter(imgs), CFG, out_dir=None,
                         checkpoint_dir=ck, checkpoint_every=1,
-                        max_frames=2 * CFG.keyframe_interval + 1)
+                        max_frames=2 * CFG.keyframe_interval + 1,
+                        intervals_per_dispatch=1)
     # second leg: resume and run to the end
     res = runner.run_sequence(iter(imgs), CFG, out_dir=None,
-                              checkpoint_dir=ck, resume=True)
+                              checkpoint_dir=ck, resume=True,
+                              intervals_per_dispatch=1)
     # the resumed tail must match the uninterrupted run bit-for-bit
     tail = len(res.frame_ids)
     assert tail > 0
