@@ -18,15 +18,20 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from egomotion_with_local_loop_closures_tpu.geom import lie
 from egomotion_with_local_loop_closures_tpu.graph import rotation_averaging as ra
 
-
-def _se3_exp_np(pose6: np.ndarray) -> np.ndarray:
-    return np.asarray(lie.exp_se3(jnp.asarray(pose6, dtype=jnp.float32)))
+# batched, jitted Lie helpers: per-row eager evaluation costs one
+# synchronous tunnel round-trip PER OP on the TPU runtime (BASELINE.md
+# perf notes), which made each RA batch cost tens of seconds of pure
+# dispatch latency
+_exp_se3_batch = jax.jit(jax.vmap(lie.exp_se3))
+_log_so3_batch = jax.jit(jax.vmap(lie.log_so3))
+_compose_pairs = jax.jit(jax.vmap(lie.compose))
 
 
 def perform_rotation_averaging(odometry: np.ndarray,
@@ -72,7 +77,8 @@ def perform_rotation_averaging(odometry: np.ndarray,
     for p in range(m):
         I[0, p] = idx_of[int(edges[p, 1])]   # from = keyframe
         I[1, p] = idx_of[int(edges[p, 0])]   # to = frame
-    RR = np.stack([_se3_exp_np(edges[p, 2:8])[:3, :3] for p in range(m)])
+    RR = np.asarray(_exp_se3_batch(
+        jnp.asarray(edges[:, 2:8], jnp.float32)))[:, :3, :3]
 
     R_avg = ra.average_so3_graph(RR, I, sigma_deg=sigma_deg)
 
@@ -80,19 +86,24 @@ def perform_rotation_averaging(odometry: np.ndarray,
     # (:79-82); pose_abs rows for the node frame ids
     kf_mask = (np.mod(pose_abs[:, 0] - transition_id, kf_interval) == 0)
     kf_rows = pose_abs[kf_mask]
+    ws = np.asarray(_log_so3_batch(jnp.asarray(R_avg, jnp.float32)))
     so3 = np.zeros((len(node_ids), 7))
     for i, f in enumerate(node_ids):
-        w = np.asarray(lie.log_so3(jnp.asarray(R_avg[i], dtype=jnp.float32)))
         row = kf_rows[kf_rows[:, 0] == f]
         trans = row[0, 5:8] if len(row) else np.zeros(3)
-        so3[i] = [f, w[0], w[1], w[2], trans[0], trans[1], trans[2]]
+        so3[i] = [f, ws[i, 0], ws[i, 1], ws[i, 2],
+                  trans[0], trans[1], trans[2]]
 
-    # re-concatenate non-KF poses onto the averaged keyframe poses (:88-98)
+    # re-concatenate non-KF poses onto the averaged keyframe poses
+    # (:88-98) — host-side bookkeeping picks each row's relative pose and
+    # anchor keyframe, then ONE batched compose does all the Lie math
     out = np.zeros((len(pose_abs), 7))
-    # odometry rows indexed by frame id for the non-KF concat (extramatch3)
     odo_of = {int(r[0]): r for r in odometry}
     so3_of = {int(r[0]): r for r in so3}
     last_kf = so3[0]
+    rel6_all = np.zeros((len(pose_abs), 6), np.float32)
+    base_all = np.zeros((len(pose_abs), 6), np.float32)
+    is_cat = np.zeros(len(pose_abs), bool)
     for i, row in enumerate(pose_abs):
         f = int(row[0])
         if f in so3_of:
@@ -100,11 +111,14 @@ def perform_rotation_averaging(odometry: np.ndarray,
             out[i] = [f, *last_kf[1:7]]
         else:
             rel = odo_of.get(f, None)
-            rel6 = rel[2:8] if rel is not None else row[2:8]
-            lie_pose = np.asarray(lie.compose(
-                jnp.asarray(np.asarray(rel6, np.float32)),
-                jnp.asarray(np.asarray(last_kf[1:7], np.float32))))
-            out[i] = [f, *lie_pose]
+            rel6_all[i] = rel[2:8] if rel is not None else row[2:8]
+            base_all[i] = last_kf[1:7]
+            is_cat[i] = True
+            out[i, 0] = f
+    if is_cat.any():
+        cat = np.asarray(_compose_pairs(jnp.asarray(rel6_all[is_cat]),
+                                        jnp.asarray(base_all[is_cat])))
+        out[is_cat, 1:7] = cat
     return out
 
 

@@ -66,10 +66,18 @@ def spanning_tree_init(QQ: np.ndarray, I: np.ndarray, n: int) -> np.ndarray:
     Q = np.tile(np.asarray([1.0, 0.0, 0.0, 0.0]), (n, 1))
     have = np.zeros(n, bool)
     have[0] = True
-    qq = jnp.asarray(QQ)
+    qq = np.asarray(QQ)
 
     def mul(a, b):
-        return np.asarray(lie.quat_mul(jnp.asarray(a), jnp.asarray(b)))
+        # plain-numpy Hamilton product: this walk is inherently
+        # sequential host code, and an eager device quat_mul costs a
+        # synchronous tunnel round-trip per edge (BASELINE.md perf notes)
+        w1, x1, y1, z1 = a
+        w2, x2, y2, z2 = b
+        return np.asarray([w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+                           w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+                           w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+                           w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2])
 
     while not have.all():
         progressed = False

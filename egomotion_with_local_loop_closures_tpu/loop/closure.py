@@ -29,6 +29,7 @@ Matching rules (GlobalOptimize.cpp:274-416):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
@@ -94,6 +95,35 @@ def trigger_angle_deg(world_pose: jnp.ndarray) -> jnp.ndarray:
     return jnp.arccos(jnp.clip(c, -1.0, 1.0)) * 180.0 / 3.14
 
 
+@functools.partial(jax.jit, static_argnames=("bins",))
+def _hist_jit(image: jnp.ndarray, bins: int) -> jnp.ndarray:
+    return histogram.image_histogram(image, bins)
+
+
+@functools.partial(jax.jit, static_argnames=("num_levels",))
+def _cur_levels_jit(image: jnp.ndarray, num_levels: int):
+    return alignment.make_current_levels(
+        pyramid.build_pyramid(image, num_levels))
+
+
+@jax.jit
+def _gate_stats(hists: jnp.ndarray, entry_hist: jnp.ndarray,
+                poses: jnp.ndarray, entry_pose: jnp.ndarray):
+    """All window-gate statistics in ONE dispatch: KL divergences
+    (GlobalOptimize.cpp:344-358), relative view angles (:419-452), and
+    the per-entry rematch initial poses (current world relative to each
+    window keyframe's world, ImageFunc.cpp:97-108).
+
+    Eager per-candidate evaluation of these quantities costs a
+    synchronous tunnel round-trip PER OP (~tens of ms each, BASELINE.md
+    perf notes) — ~70 chained Lie ops per candidate made every keyframe
+    push cost ~18 s; one fused dispatch makes it milliseconds."""
+    kls = histogram.kl_divergence_batched(hists, entry_hist)
+    angles = view_angle_deg(poses, jnp.broadcast_to(entry_pose, poses.shape))
+    rels = jax.vmap(lambda p: lie.relative(entry_pose, p))(poses)
+    return kls, angles, rels
+
+
 def rms_rotation_error(pose_a, pose_b) -> float:
     """The reference's 'rms_error': euclidean distance of the rotation
     components of the two world twists (GlobalOptimize.cpp:421)."""
@@ -134,7 +164,7 @@ class LoopCloser:
         cfg.use_loop_closure_trigger, matching only runs while the
         rotation trigger is latched on (GlobalOptimize.cpp:225-237)."""
         cfg = self.cfg
-        hist = histogram.image_histogram(image, cfg.histogram_bins)
+        hist = _hist_jit(image, cfg.histogram_bins)
         entry = LoopEntry(frame_id=frame_id, kf_levels=kf_levels,
                           weight_levels=weight_levels, hist=hist,
                           world_pose=jnp.asarray(world_pose),
@@ -160,13 +190,14 @@ class LoopCloser:
         resulting booleans."""
         cfg = self.cfg
         if not self.entries:
-            return [], None, None
+            return [], None, None, None
         hists = jnp.stack([e.hist for e in self.entries])
-        # KL(old || current): old histogram is p (GlobalOptimize.cpp:348)
-        kls = np.asarray(histogram.kl_divergence_batched(hists, entry.hist))
         poses = jnp.stack([e.world_pose for e in self.entries])
-        angles = np.asarray(view_angle_deg(
-            poses, jnp.broadcast_to(entry.world_pose, poses.shape)))
+        # KL(old || current): old histogram is p (GlobalOptimize.cpp:348)
+        kls_d, angles_d, rels = _gate_stats(hists, entry.hist, poses,
+                                            entry.world_pose)
+        kls = np.asarray(kls_d)
+        angles = np.asarray(angles_d)
         out = []
         wait = 0
         for i in range(len(self.entries) - 1, -1, -1):
@@ -183,7 +214,7 @@ class LoopCloser:
                 continue
             out.append(i)
             wait = cfg.min_wait_count       # GO.cpp:536
-        return out, kls, angles
+        return out, kls, angles, rels
 
     @staticmethod
     def _pad_bucket(n: int) -> int:
@@ -197,11 +228,10 @@ class LoopCloser:
     def _find_matches(self, entry: LoopEntry, image: jnp.ndarray
                       ) -> List[LoopEdge]:
         cfg = self.cfg
-        cands, kls, angles = self._candidates(entry)
+        cands, kls, angles, rels = self._candidates(entry)
         if not cands:
             return []
-        cur_levels = alignment.make_current_levels(
-            pyramid.build_pyramid(image, cfg.num_levels))
+        cur_levels = _cur_levels_jit(image, cfg.num_levels)
         # ONE batched dispatch for every accepted candidate: stack the
         # window entries' templates/weights and the per-candidate initial
         # poses (current world relative to the matched KF's world,
@@ -215,9 +245,7 @@ class LoopCloser:
         w_stack = jax.tree.map(
             lambda *xs: jnp.stack(xs), *[self.entries[i].weight_levels
                                          for i in padded])
-        pose0s = jnp.stack([lie.relative(entry.world_pose,
-                                         self.entries[i].world_pose)
-                            for i in padded])
+        pose0s = rels[jnp.asarray(padded, jnp.int32)]
         poses, _ = alignment.align_const_weight_batch_jit(
             kf_stack, w_stack, cur_levels, pose0s, cfg)
         poses = np.asarray(poses)

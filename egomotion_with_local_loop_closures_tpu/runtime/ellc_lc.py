@@ -41,6 +41,17 @@ from egomotion_with_local_loop_closures_tpu.runtime import io as ellc_io
 from egomotion_with_local_loop_closures_tpu.runtime import pipeline
 
 
+@jax.jit
+def _compose_batch(poses: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
+    """world_i = pose_i o base for a whole batch in ONE dispatch.
+
+    The World_pose accumulation (small_batch_rotavg.m:43-50) touches
+    every pose row; eagerly composing row by row costs a synchronous
+    tunnel round-trip per Lie op (~tens of ms, BASELINE.md perf notes) —
+    hundreds of seconds over a long run."""
+    return jax.vmap(lambda p: lie.compose(p, base))(poses)
+
+
 @dataclasses.dataclass
 class BatchRecord:
     """Everything remembered about one GN batch for RA + replay."""
@@ -107,8 +118,10 @@ def _track_batch(state: pipeline.PipelineState,
             state, chunk, cfg, replay=replay, init_rotations=rots)
         outs = jax.tree.map(np.asarray, outs)
         if closer is not None and snapshot is not None:
-            world_global = lie.compose(snapshot.world_pose,
-                                       jnp.asarray(base_world))
+            # one jitted dispatch; an eager compose is a ~50-op chain of
+            # synchronous tunnel round-trips (~1-2 s per interval)
+            world_global = _compose_batch(
+                snapshot.world_pose[None], jnp.asarray(base_world))[0]
             edges = closer.push_keyframe(
                 kf_id, snapshot.image, snapshot.kf_levels,
                 snapshot.weight_levels, world_global,
@@ -195,9 +208,8 @@ def run_ellc_lc(frames: Iterable[np.ndarray], cfg: ELLCConfig,
                 frame_id += 1
                 state, o = pipeline.track_refine_step(
                     state, jnp.asarray(img), cfg)
-                w = np.asarray(lie.compose(
-                    jnp.asarray(np.asarray(o.pose_wrt_world)),
-                    jnp.asarray(base_world)))
+                w = np.asarray(_compose_batch(
+                    o.pose_wrt_world[None], jnp.asarray(base_world))[0])
                 raw.append((frame_id, w))
                 corrected.append((frame_id, w))
             break
@@ -208,10 +220,11 @@ def run_ellc_lc(frames: Iterable[np.ndarray], cfg: ELLCConfig,
         frame_id += len(buf)
         num_batches += 1
 
-        for row in rec.pose_rows:
-            w = np.asarray(lie.compose(
-                jnp.asarray(np.asarray(row[2:8], np.float32)),
-                jnp.asarray(base_world)))
+        raw_rows = np.asarray([row[2:8] for row in rec.pose_rows],
+                              np.float32)
+        raw_world = np.asarray(_compose_batch(jnp.asarray(raw_rows),
+                                              jnp.asarray(base_world)))
+        for row, w in zip(rec.pose_rows, raw_world):
             raw.append((int(row[0]), w))
 
         # --- rotation averaging over this batch ---
@@ -220,10 +233,10 @@ def run_ellc_lc(frames: Iterable[np.ndarray], cfg: ELLCConfig,
         # frame; compose onto the corrected base (small_batch_rotavg.m:43-50)
         end_world = None
         end_fid = start_id + len(buf)     # the batch's last keyframe
-        for r in out:
-            w = np.asarray(lie.compose(
-                jnp.asarray(np.asarray(r[1:7], np.float32)),
-                jnp.asarray(base_world)))
+        cor_world = np.asarray(_compose_batch(
+            jnp.asarray(np.asarray(out[:, 1:7], np.float32)),
+            jnp.asarray(base_world)))
+        for r, w in zip(out, cor_world):
             corrected.append((int(r[0]), w))
             if int(r[0]) == end_fid:
                 end_world = w
@@ -271,9 +284,8 @@ def run_ellc_lc(frames: Iterable[np.ndarray], cfg: ELLCConfig,
                 frame_id += 1
                 state, o = pipeline.track_refine_step(
                     state, jnp.asarray(img), cfg)
-                w = np.asarray(lie.compose(
-                    jnp.asarray(np.asarray(o.pose_wrt_world)),
-                    jnp.asarray(tail_base)))
+                w = np.asarray(_compose_batch(
+                    o.pose_wrt_world[None], jnp.asarray(tail_base))[0])
                 raw.append((frame_id, w))
                 corrected.append((frame_id, w))
 
@@ -341,15 +353,21 @@ def _sim3_refine_trajectory(ids: np.ndarray, poses: np.ndarray,
     out = np.array(poses, np.float32)
     for k, fidx in enumerate(kf_idx):
         out[fidx] = refined[k, :6]
-    # non-KF frames ride rigidly on their preceding keyframe
-    last_kf = None
+    # non-KF frames ride rigidly on their preceding keyframe — all of
+    # them in ONE batched dispatch (per-frame eager Lie chains cost a
+    # tunnel round-trip per op; see _compose_batch)
+    anchor = np.full(len(ids), -1, np.int64)
+    last_kf = -1
     for i in range(len(ids)):
         if kf_mask[i]:
             last_kf = i
-            continue
-        if last_kf is None:
-            continue
-        rel = lie.relative(jnp.asarray(poses[i]),
-                           jnp.asarray(poses[last_kf]))
-        out[i] = np.asarray(lie.compose(rel, jnp.asarray(out[last_kf])))
+        anchor[i] = last_kf
+    ride = np.nonzero(~kf_mask & (anchor >= 0))[0]
+    if len(ride):
+        rel_comp = jax.jit(jax.vmap(
+            lambda p, pk, ok: lie.compose(lie.relative(p, pk), ok)))
+        out[ride] = np.asarray(rel_comp(
+            jnp.asarray(poses[ride]),
+            jnp.asarray(poses[anchor[ride]]),
+            jnp.asarray(out[anchor[ride]])))
     return out
