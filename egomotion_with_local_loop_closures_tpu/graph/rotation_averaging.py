@@ -199,6 +199,12 @@ def l1_init(QQ: jnp.ndarray, I: jnp.ndarray, n: int, Q0: jnp.ndarray,
     return Q
 
 
+_l1_init_jit = jax.jit(l1_init,
+                       static_argnames=("n", "max_iters", "inner_iters"))
+_irls_refine_jit = jax.jit(
+    irls_refine, static_argnames=("n", "sigma_deg", "max_iters", "tol"))
+
+
 def average_so3_graph(RR: np.ndarray, I: np.ndarray,
                       sigma_deg: float = 5.0,
                       l1_iters: int = 10, irls_iters: int = 100,
@@ -218,12 +224,28 @@ def average_so3_graph(RR: np.ndarray, I: np.ndarray,
     QQ = np.asarray(lie.quat_from_matrix(jnp.asarray(RR_sub)))
     Q0 = spanning_tree_init(QQ, I_sub, int(keep.sum()))
 
+    # pad the edge list to a multiple of 8 with (0, 0) identity
+    # self-edges: their incidence rows are all-zero and their residuals
+    # vanish, so they contribute nothing to either solver — but the
+    # padded shapes recur across batches, so the JITTED solvers (below)
+    # compile once per bucket instead of retracing + recompiling the
+    # while_loop/scan programs on EVERY rotation-averaging call (the
+    # dominant cost of LC mode before round 4)
+    m = I_sub.shape[1]
+    mp = ((m + 7) // 8) * 8
+    if mp != m:
+        I_sub = np.concatenate(
+            [I_sub, np.zeros((2, mp - m), np.int64)], axis=1)
+        QQ = np.concatenate(
+            [QQ, np.tile(np.asarray([[1.0, 0, 0, 0]], QQ.dtype),
+                         (mp - m, 1))], axis=0)
+
     QQj = jnp.asarray(QQ)
     Ij = jnp.asarray(I_sub)
-    Q = l1_init(QQj, Ij, int(keep.sum()), jnp.asarray(Q0),
-                max_iters=l1_iters)
-    Q = irls_refine(QQj, Ij, int(keep.sum()), Q, sigma_deg=sigma_deg,
-                    max_iters=irls_iters, tol=tol)
+    Q = _l1_init_jit(QQj, Ij, int(keep.sum()), jnp.asarray(Q0),
+                     max_iters=l1_iters)
+    Q = _irls_refine_jit(QQj, Ij, int(keep.sum()), Q, sigma_deg=sigma_deg,
+                         max_iters=irls_iters, tol=tol)
 
     R_sub = np.asarray(lie.matrix_from_quat(Q))
     out = np.tile(np.eye(3), (n, 1, 1))
