@@ -237,7 +237,13 @@ def run_ellc_lc(frames: Iterable[np.ndarray], cfg: ELLCConfig,
             jnp.asarray(np.asarray(out[:, 1:7], np.float32)),
             jnp.asarray(base_world)))
         for r, w in zip(out, cor_world):
-            corrected.append((int(r[0]), w))
+            # skip the batch's transition anchor row (identity w.r.t.
+            # itself): it was already emitted as the PREVIOUS batch's
+            # end keyframe (same pose), and frame 1 never gets a pose
+            # line in the reference either (main.cpp writes from frame
+            # 2 on) — keeps frame_ids duplicate-free
+            if int(r[0]) != start_id:
+                corrected.append((int(r[0]), w))
             if int(r[0]) == end_fid:
                 end_world = w
         # the next batch chains from the corrected end-of-batch KEYFRAME
