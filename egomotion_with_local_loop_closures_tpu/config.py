@@ -66,6 +66,15 @@ class ELLCConfig:
     min_abs_grad_decrease: float = 5.0   # EV:82
     min_blacklist: int = -1              # EV:83
     var_random_init: float = 0.125       # EV:88 VAR_RANDOM_INIT_INITIAL
+    # "jax": idepth ~ U[0.5, 1.5] from the supplied PRNG key.
+    # "glibc": bit-exact replica of the reference's bootstrap — the
+    # unseeded glibc rand() stream (seed 1) consumed in raster order
+    # over gradient-gated interior pixels, value
+    # 0.5f + (rand() % 100001) / 1e5f (DepthPropagation.cpp:160; no
+    # srand call exists in src/, so the stream is deterministic).  Used
+    # by tools/parity_eval.py to start from EXACTLY the reference's
+    # initial depth map (utils/glibc_rand.py).
+    bootstrap_rng: str = "jax"
 
     # --- epipolar line selection (EV:92-94) -----------------------------
     min_epl_grad_squared: float = 4.0    # EV:92 (2^2)
@@ -105,8 +114,10 @@ class ELLCConfig:
     #
     # Round-4 two-tier walk: the dense (gather-free) segment setup now
     # runs first, pixels failing its pre-checks never claim capacity, and
-    # the survivors are split by their EXACT step count (stereo.count_steps)
-    # into a SHORT pool walking stereo_short_steps samples (capacity
+    # the survivors are split by a conservative walk-length bound
+    # (walk_len / gradient_sample_dist + 2, an upper bound on the exact
+    # stereo.count_steps — equality-safe, validated against count_steps
+    # in tests) into a SHORT pool walking stereo_short_steps samples (capacity
     # stereo_short_frac * H * W — converged seeds, whose mu +- 2 sigma
     # prior bound shortens the segment, DepthPropagation.cpp:434-486) and
     # a LONG pool walking the full stereo_max_steps (capacity
@@ -117,18 +128,21 @@ class ELLCConfig:
     # (bootstrap frames), existing-seed update pixels mean 0.034 and
     # always short (sigma-bounded segments), create attempts ~0.16 and
     # full-length); overflow is dropped uniformly + surfaced, priority
-    # (update) pixels claim capacity first, dropped creates retry on
-    # later frames via the rotating interleave.
+    # (update) pixels claim capacity first, and the drop point among
+    # create attempts is rotated per frame (stereo._pool_indices rot),
+    # so under sustained overflow a different create subset runs each
+    # frame instead of the fixed interleave starving the same tail.
     # Fused-interval cost is LINEAR in total pool capacity (~0.8 ms per
     # plane-fraction of H*W, tools/probe_interval_sweep.py), so the
     # capacities below budget lookups: the short tier (cap 0.04, 20
     # planes) absorbs the sigma-bounded update pixels (measured mean
     # 0.034) and the full-length tier (cap 0.14, 40 planes) serves
     # create attempts (measured mean ~0.16; bootstrap frames demand up
-    # to 0.58 and overflow — dropped creates retry on later frames via
-    # the rotating interleave, trading a few frames of depth-map
-    # convergence lag for ~35% less walk cost; parity vs the reference
-    # binary re-validated in BASELINE.md after this retuning).
+    # to 0.58 and overflow — the per-frame drop rotation cycles which
+    # creates are dropped so every gated pixel gets a turn within a few
+    # frames, trading a few frames of depth-map convergence lag for
+    # ~35% less walk cost; parity vs the reference binary re-validated
+    # in BASELINE.md after this retuning).
     stereo_compact_frac: float = 0.14
     stereo_short_steps: int = 16
     stereo_short_frac: float = 0.04

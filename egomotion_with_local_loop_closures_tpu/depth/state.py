@@ -44,12 +44,26 @@ def initialize_random(key: jax.Array, max_grad: jnp.ndarray,
                       cfg: ELLCConfig) -> DepthMapState:
     """Gradient-gated random init: invDepth ~ U[0.5, 1.5], var = 0.125,
     validity 20, borders excluded.  Mirrors depthMap::initializeRandomly
-    (DepthPropagation.cpp:83-184, random branch)."""
+    (DepthPropagation.cpp:83-184, random branch).
+
+    With ``cfg.bootstrap_rng == "glibc"`` the draws replicate the
+    reference bit for bit: the unseeded glibc ``rand()`` stream consumed
+    in raster order over the gated pixels (the k-th gated pixel in
+    row-major order takes the k-th draw — exactly the scan order of the
+    reference's x/y loops, DepthPropagation.cpp:104-160); ``key`` is
+    ignored on that path."""
     H, W = max_grad.shape
-    u = jax.random.uniform(key, (H, W))
-    idepth = 0.5 + 1.0 * u
     interior = jnp.zeros((H, W), bool).at[1:H - 1, 1:W - 1].set(True)
     valid = interior & (max_grad > cfg.min_abs_grad_create)
+    if cfg.bootstrap_rng == "glibc":
+        from egomotion_with_local_loop_closures_tpu.utils import glibc_rand
+        vals = jnp.asarray(glibc_rand.glibc_unit_floats(H * W))
+        gate = valid.ravel()
+        rank = jnp.cumsum(gate.astype(jnp.int32)) - 1
+        u = vals[jnp.clip(rank, 0, H * W - 1)].reshape(H, W)
+    else:
+        u = jax.random.uniform(key, (H, W))
+    idepth = 0.5 + 1.0 * u
     # explicit float32 (not weak-typed) so the init state has the same jit
     # signature as every steady-state DepthMapState (a weak-typed leaf
     # forces a full second compile of each step function)

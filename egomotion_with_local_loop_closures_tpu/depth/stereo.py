@@ -493,12 +493,22 @@ def _interleave_perm(n: int) -> jnp.ndarray:
 
 
 def _pool_indices(mask_p: jnp.ndarray, prio_p: jnp.ndarray | None,
-                  cap: int, perm: jnp.ndarray, HW: int):
+                  cap: int, perm: jnp.ndarray, HW: int,
+                  rot: jnp.ndarray | None = None):
     """Pack the True positions of ``mask_p`` (a permuted flat mask) into
     ``cap`` slots.  ``prio_p`` pixels claim capacity FIRST (the caller
     passes existing-hypothesis pixels, whose EKF update decays validity
     when skipped), so overflow only ever drops create attempts.  Returns
     (flat pixel indices with HW marking empty slots, overflow count).
+
+    ``rot`` (int32 scalar) rotates the create ranks circularly so that
+    under SUSTAINED overflow (bootstrap frames demand ~0.58 of the image
+    vs cap 0.18) a DIFFERENT subset of create attempts is dropped each
+    frame — without it the fixed golden-ratio permutation starves the
+    same trailing pixels every frame and depth bootstrap converges only
+    via winners migrating to the priority tier.  When everything fits
+    the rotation merely permutes slot assignment (the pooled SET is
+    unchanged), so compact-vs-dense equality is unaffected.
 
     Layout: each selected pixel computes its own pool slot with cumsums
     (priority pixels rank first, others after all priority ones) and
@@ -509,14 +519,20 @@ def _pool_indices(mask_p: jnp.ndarray, prio_p: jnp.ndarray | None,
     overflow = jnp.maximum(n - cap, 0)
     if prio_p is None:
         rank = jnp.cumsum(mask_p.astype(jnp.int32)) - 1
+        if rot is not None:
+            nn = jnp.maximum(n, 1).astype(jnp.int32)
+            rank = (rank + rot % nn) % nn
         slot = jnp.where(mask_p, rank, cap)
     else:
         mp = mask_p & prio_p
         mc = mask_p & ~prio_p
         n_p = jnp.sum(mp)
         rank_p = jnp.cumsum(mp.astype(jnp.int32)) - 1
-        rank_c = n_p + jnp.cumsum(mc.astype(jnp.int32)) - 1
-        slot = jnp.where(mp, rank_p, jnp.where(mc, rank_c, cap))
+        rank_c = jnp.cumsum(mc.astype(jnp.int32)) - 1
+        if rot is not None:
+            n_c = jnp.maximum(jnp.sum(mc), 1).astype(jnp.int32)
+            rank_c = (rank_c + rot % n_c) % n_c
+        slot = jnp.where(mp, rank_p, jnp.where(mc, n_p + rank_c, cap))
     slot = jnp.minimum(slot, cap)                    # overflow -> drop slot
     pool = jnp.full((cap + 1,), HW, jnp.int32).at[slot].set(perm)
     return pool[:cap], overflow
@@ -531,7 +547,8 @@ def line_stereo_compact(run: jnp.ndarray,
                         max_idepth: jnp.ndarray,
                         pose_cur_wrt_kf: jnp.ndarray,
                         cfg: ELLCConfig,
-                        priority: jnp.ndarray | None = None
+                        priority: jnp.ndarray | None = None,
+                        rot: jnp.ndarray | None = None
                         ) -> Tuple[StereoResult, jnp.ndarray]:
     """Seed-compacted doLineStereo: only pixels with ``run`` True walk the
     epipolar segment.  Returns (dense StereoResult, overflow count).
@@ -544,8 +561,10 @@ def line_stereo_compact(run: jnp.ndarray,
        pool.  Their pre-check codes are reported from the dense plane at
        zero gather cost (observe()'s EKF treats -1/-4 exactly like
        unprocessed pixels, so capacity is not spent on them);
-    2. the surviving pixels are split by their EXACT walk length
-       (count_steps — the reference's own mu +- 2 sigma prior bound
+    2. the surviving pixels are split by a CONSERVATIVE walk-length
+       bound, walk_len / gradient_sample_dist + 2 >= the exact step
+       count (stereo.count_steps computes the exact count and validates
+       the bound in tests; the reference's own mu +- 2 sigma prior bound
        shortens converged seeds' segments, DepthPropagation.cpp:434-486)
        into a SHORT pool walking only cfg.stereo_short_steps samples and
        a LONG pool walking the full cfg.stereo_max_steps; converged
@@ -553,10 +572,11 @@ def line_stereo_compact(run: jnp.ndarray,
        count ~2-3x versus a single full-length pool.
 
     Pixels dropped by pool capacity report code -5 / zeros — the
-    caller's gating ignores them and they simply retry next frame (the
+    caller's gating ignores them and they retry on later frames (the
     drop count is returned; the golden-ratio interleave spreads drops
-    uniformly over the image).  ``priority`` pixels claim capacity first
-    within each pool.  Wherever ``run`` holds and capacity suffices the
+    uniformly over the image and ``rot`` cycles WHICH creates are
+    dropped under sustained overflow, see _pool_indices).  ``priority``
+    pixels claim capacity first within each pool.  Wherever ``run`` holds and capacity suffices the
     result is IDENTICAL to line_stereo: the walk is elementwise per
     pixel, the pooled segment setup is recomputed bit-identically from
     the gathered inputs, and a short-pool pixel's full-S walk is
@@ -598,7 +618,7 @@ def line_stereo_compact(run: jnp.ndarray,
     prio_p = ((flags_p & 4) != 0) if priority is not None else None
 
     def run_pool(mask_p, cap, steps):
-        idx, overflow = _pool_indices(mask_p, prio_p, cap, perm, HW)
+        idx, overflow = _pool_indices(mask_p, prio_p, cap, perm, HW, rot)
         gi = jnp.minimum(idx, HW - 1)
 
         def g(a):
@@ -697,10 +717,17 @@ def observe(state: DepthMapState,
     packed = interp.pack_quad_u8(cur_image) if cfg.stereo_pack_u8 \
         else interp.pack_pairs_u16(cur_image)
     if cfg.stereo_compact_frac > 0.0:
+        # per-frame drop rotation: any scalar that changes between
+        # consecutive observes of an evolving depth map works; the
+        # validity-counter sum changes on every create/update/decay
+        # (and when it does NOT change, the map is static and rotating
+        # drops would gain nothing anyway)
+        rot = (jnp.sum(state.validity)
+               + jnp.sum(state.valid)).astype(jnp.int32)
         res, overflow = line_stereo_compact(
             run, kf_image, kf_gradx, kf_grady, packed,
             epxn, epyn, min_id, prior, max_id, pose_cur_wrt_kf, cfg,
-            priority=has_hyp)
+            priority=has_hyp, rot=rot)
     else:
         res = line_stereo(kf_image, kf_gradx, kf_grady, packed,
                           epxn, epyn, min_id, prior, max_id,

@@ -83,8 +83,18 @@ def perform_rotation_averaging(odometry: np.ndarray,
     R_avg = ra.average_so3_graph(RR, I, sigma_deg=sigma_deg)
 
     # averaged log-rotations + ORIGINAL translations of the KF world poses
-    # (:79-82); pose_abs rows for the node frame ids
-    kf_mask = (np.mod(pose_abs[:, 0] - transition_id, kf_interval) == 0)
+    # (:79-82).  Keyframe selection mirrors BOTH reference branches
+    # (perform_rotation_averaging_transition1.m:39-46): bootstrap
+    # (is_bootstrap, transition_id==1) keeps id==transition_id plus the
+    # absolute keyframes id % kf_interval == 0; steady state keeps
+    # (id - transition_id) % kf_interval == 0 where transition_id is
+    # itself a keyframe — both reduce to the union below.  (A previous
+    # revision used only the steady-state form, which under the
+    # frame_counter % K keyframe-id convention selects NON-keyframe rows
+    # 9, 17, ... for the bootstrap batch, zeroing every keyframe
+    # translation.)
+    kf_mask = ((pose_abs[:, 0] == transition_id)
+               | (np.mod(pose_abs[:, 0], kf_interval) == 0))
     kf_rows = pose_abs[kf_mask]
     ws = np.asarray(_log_so3_batch(jnp.asarray(R_avg, jnp.float32)))
     so3 = np.zeros((len(node_ids), 7))

@@ -16,7 +16,9 @@ Absorbs the reference's MATLAB back-end
   identical to RobustMeanSO3Graph.m:130-191 (weights
   sigma / (||e||^2 + sigma^2), tolerance 1e-3 on the mean update norm).
 - :func:`average_so3_graph` — the AverageSO3Graph.m:57-94 pipeline:
-  restrict to the largest connected component, L1 init, IRLS refine.
+  restrict to the largest connected component, rotation-sanity check +
+  SO(3) re-projection of the input edges (det / SVD, :80-91), L1 init,
+  IRLS refine.
 
 Graph convention matches the MATLAB exactly: edge p relates nodes
 ``i = I[0, p]`` -> ``j = I[1, p]`` with ``R_ij = R_j R_i^{-1}``
@@ -219,20 +221,50 @@ def average_so3_graph(RR: np.ndarray, I: np.ndarray,
     remap[keep] = np.arange(keep.sum())
     edge_keep = keep[I[0]] & keep[I[1]]
     I_sub = remap[I[:, edge_keep]]
-    RR_sub = RR[edge_keep]
+    RR_sub = np.asarray(RR[edge_keep], np.float64)
+
+    # rotation-sanity projection (AverageSO3Graph.m:80-91): input edges
+    # that arrive from text files (batch_edges_from_files) can
+    # de-orthonormalize through float round-trips.  Improper rotations
+    # (det <= 0) are an error; singular values off 1 by >= 0.1 are an
+    # error, >= 0.01 a warning; every matrix is re-projected onto SO(3)
+    # via U * round(S) * V' exactly as the MATLAB does.  Host-side
+    # batched SVD — the batches are tens of edges.
+    dets = np.linalg.det(RR_sub)
+    if (dets <= 0).any():
+        p = int(np.argmax(dets <= 0))
+        raise ValueError(f"det(RR[{p}])={dets[p]:.6f} <= 0: "
+                         "improper input rotation")
+    U, S, Vt = np.linalg.svd(RR_sub)
+    if (np.abs(S - 1.0) >= 0.1).any():
+        p = int(np.argmax((np.abs(S - 1.0) >= 0.1).any(axis=1)))
+        raise ValueError(f"svd(RR[{p}]) singular values {S[p]} too far "
+                         "from 1: not a rotation")
+    if (np.abs(S - 1.0) >= 0.01).any():
+        import warnings
+        warnings.warn("rotation-averaging input rotations required "
+                      "SO(3) re-projection (singular values off 1 by "
+                      ">= 0.01)")
+    RR_sub = np.einsum("nij,nj,njk->nik", U, np.round(S), Vt)
 
     QQ = np.asarray(lie.quat_from_matrix(jnp.asarray(RR_sub)))
     Q0 = spanning_tree_init(QQ, I_sub, int(keep.sum()))
 
-    # pad the edge list to a multiple of 8 with (0, 0) identity
-    # self-edges: their incidence rows are all-zero and their residuals
-    # vanish, so they contribute nothing to either solver — but the
-    # padded shapes recur across batches, so the JITTED solvers (below)
-    # compile once per bucket instead of retracing + recompiling the
-    # while_loop/scan programs on EVERY rotation-averaging call (the
-    # dominant cost of LC mode before round 4)
+    # pad the edge list to a power-of-2 bucket (min 16) with (0, 0)
+    # identity self-edges: their incidence rows are all-zero and their
+    # residuals vanish, so they contribute nothing to either solver —
+    # but the padded shapes recur across batches, so the JITTED solvers
+    # (below) compile once per bucket instead of retracing + recompiling
+    # the while_loop/scan programs on EVERY rotation-averaging call (the
+    # dominant cost of LC mode before round 4).  Round 5 coarsened the
+    # buckets from multiples of 8 to powers of 2: typical LC batches
+    # (1 delim + 4-10 KF edges + a handful of loop edges) land in ONE
+    # bucket (16), cutting the warmup's solver-compile count ~4x for a
+    # few extra identity edges of dense-solve work
     m = I_sub.shape[1]
-    mp = ((m + 7) // 8) * 8
+    mp = 16
+    while mp < m:
+        mp *= 2
     if mp != m:
         I_sub = np.concatenate(
             [I_sub, np.zeros((2, mp - m), np.int64)], axis=1)

@@ -218,12 +218,16 @@ class LoopCloser:
 
     @staticmethod
     def _pad_bucket(n: int) -> int:
-        """Pad the candidate batch to a small set of sizes so the batched
-        rematch jit compiles a handful of variants, not one per count."""
-        b = 1
-        while b < n:
-            b *= 2
-        return b
+        """Pad the candidate batch to one of TWO sizes (4, 20) so the
+        batched rematch compiles exactly two jit variants.  Round 4 used
+        power-of-2 buckets {1, 2, 4, 8, 16} — five compiles of the
+        heaviest program in the repo (4-level batched alignment at full
+        resolution), a large slice of LC mode's ~840 s warmup.  Padding
+        a 1-candidate rematch to 4 costs ~3 ms of extra batched compute
+        per match; one avoided compile pays for ~10^4 of those.  20 is
+        the window size (EV:161 MAX_LOOP_ARRAY_LENGTH) = the hard cap on
+        candidates."""
+        return 4 if n <= 4 else 20
 
     def _find_matches(self, entry: LoopEntry, image: jnp.ndarray
                       ) -> List[LoopEdge]:

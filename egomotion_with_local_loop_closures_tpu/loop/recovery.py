@@ -103,11 +103,11 @@ def find_connection(closer: LoopCloser, frame_id: int,
     if not cands:
         return None
 
-    # pad to a power-of-two bucket (repeat the first) so the batched jit
-    # compiles a handful of size variants over the 20-entry window
-    B = 1
-    while B < len(cands):
-        B *= 2
+    # pad to one of TWO bucket sizes (4, 20 = the window cap) so the
+    # batched trial jit — full depth propagation per candidate, the
+    # heaviest recovery program — compiles exactly two variants (see
+    # LoopCloser._pad_bucket for the compile-vs-compute accounting)
+    B = 4 if len(cands) <= 4 else 20
     padded = cands + [cands[0]] * (B - len(cands))
     ents = [closer.entries[i] for i in padded]
     kf_stack = jax.tree.map(lambda *xs: jnp.stack(xs),

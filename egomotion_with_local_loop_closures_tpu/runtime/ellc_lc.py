@@ -81,7 +81,8 @@ def _track_batch(state: pipeline.PipelineState,
                  cfg: ELLCConfig, closer: Optional[closure.LoopCloser],
                  replay: bool = False,
                  init_rotations: Optional[np.ndarray] = None,
-                 base_world: Optional[np.ndarray] = None
+                 base_world: Optional[np.ndarray] = None,
+                 stats: Optional[dict] = None
                  ) -> Tuple[pipeline.PipelineState, BatchRecord]:
     """Track ``len(frames)`` frames (a whole batch) interval by interval,
     starting from ``state`` whose keyframe is frame ``start_frame_id``.
@@ -105,11 +106,86 @@ def _track_batch(state: pipeline.PipelineState,
                       pose_rows=[], odometry_rows=[], loop_rows=[],
                       start_image=state.kf.images[0],
                       start_depth=depth0, start_var=var0)
+    import time as _time
+
+    def _mark(phase, t0):
+        if stats is not None:
+            stats[phase] = stats.get(phase, 0.0) + (_time.perf_counter()
+                                                    - t0)
+        return _time.perf_counter()
+
     kf_id = start_frame_id
     fid = start_frame_id
+
+    if closer is None:
+        # no loop window to feed between intervals (the replay phase):
+        # run the whole batch in at most TWO dispatches — the odd-sized
+        # first interval (bootstrap only), then ONE process_intervals
+        # scan over all remaining intervals.  Per-interval dispatch +
+        # host sync was ~40% of the replay phase's wall time.
+        t0 = _time.perf_counter()
+        blocks = []
+        b = 0
+        if first:
+            size = K - 1
+            rots = jnp.asarray(init_rotations[:size]) \
+                if init_rotations is not None else None
+            state, outs, _ = pipeline.process_interval(
+                state, jnp.asarray(np.stack(frames[:size])), cfg,
+                replay=replay, init_rotations=rots)
+            blocks.append((jax.tree.map(np.asarray, outs), size))
+            b = size
+        # remaining intervals in fixed chunks of 4 (ONE process_intervals
+        # jit shape) + a per-interval remainder (reuses the single-
+        # interval jit variant) — bounds replay compiles to 2-3 programs
+        CH = 4
+        n_rest = (len(frames) - b) // K
+        c = 0
+        while c < n_rest:
+            if n_rest - c >= CH:
+                take = CH
+                lo = b + c * K
+                stacked = jnp.asarray(np.stack(frames[lo:lo + take * K])
+                                      ).reshape(take, K, *frames[0].shape)
+                rots = jnp.asarray(init_rotations[lo:lo + take * K]
+                                   ).reshape(take, K, 6) \
+                    if init_rotations is not None else None
+                state, outs, _ = pipeline.process_intervals(
+                    state, stacked, cfg, replay=replay, init_rotations=rots)
+                outs = jax.tree.map(
+                    lambda a: np.asarray(a).reshape(take * K, *a.shape[2:]),
+                    outs)
+                blocks.append((outs, take * K))
+            else:
+                take = 1
+                lo = b + c * K
+                rots = jnp.asarray(init_rotations[lo:lo + K]) \
+                    if init_rotations is not None else None
+                state, outs, _ = pipeline.process_interval(
+                    state, jnp.asarray(np.stack(frames[lo:lo + K])), cfg,
+                    replay=replay, init_rotations=rots)
+                blocks.append((jax.tree.map(np.asarray, outs), K))
+            c += take
+        _mark("interval", t0)
+        for outs, n in blocks:
+            j0 = 0
+            while j0 < n:
+                size = min((K - 1) if (first and fid == start_frame_id)
+                           else K, n - j0)
+                for j in range(j0, j0 + size):
+                    fid += 1
+                    rec.pose_rows.append([fid, kf_id,
+                                          *outs.pose_wrt_world[j]])
+                    rec.odometry_rows.append([fid, kf_id,
+                                              *outs.pose_wrt_kf[j]])
+                kf_id = fid
+                j0 += size
+        return state, rec
+
     b = 0
     while b < len(frames):
         size = (K - 1) if (first and b == 0) else K
+        t0 = _time.perf_counter()
         chunk = jnp.asarray(np.stack(frames[b:b + size]))
         rots = None
         if init_rotations is not None:
@@ -117,6 +193,7 @@ def _track_batch(state: pipeline.PipelineState,
         state, outs, snapshot = pipeline.process_interval(
             state, chunk, cfg, replay=replay, init_rotations=rots)
         outs = jax.tree.map(np.asarray, outs)
+        t0 = _mark("interval", t0)
         if closer is not None and snapshot is not None:
             # one jitted dispatch; an eager compose is a ~50-op chain of
             # synchronous tunnel round-trips (~1-2 s per interval)
@@ -130,6 +207,7 @@ def _track_batch(state: pipeline.PipelineState,
             for e in edges:
                 rec.loop_rows.append([e.frame_id, e.matched_kf_id,
                                       *e.pose_wrt_matched])
+            t0 = _mark("window", t0)
         for j in range(size):
             fid += 1
             rec.pose_rows.append([fid, kf_id, *outs.pose_wrt_world[j]])
@@ -158,8 +236,21 @@ def _rotation_average_batch(rec: BatchRecord, cfg: ELLCConfig
 
 def run_ellc_lc(frames: Iterable[np.ndarray], cfg: ELLCConfig,
                 out_dir: Optional[str] = None, seed: int = 0,
-                max_frames: Optional[int] = None) -> LCResult:
-    """The full alternating pipeline on a frame stream."""
+                max_frames: Optional[int] = None,
+                stats: Optional[dict] = None) -> LCResult:
+    """The full alternating pipeline on a frame stream.
+
+    ``stats``, when given, accumulates wall-clock seconds per phase
+    (track / ra / replay / tail / sim3) for throughput attribution
+    (tools/bench_lc.py --phases)."""
+    import time as _time
+
+    def _mark(phase, t0):
+        if stats is not None:
+            stats[phase] = stats.get(phase, 0.0) + (_time.perf_counter()
+                                                    - t0)
+        return _time.perf_counter()
+
     from egomotion_with_local_loop_closures_tpu.runtime import runner
     cfg = cfg.replace(do_loop_closure=True)
     it = iter(runner.undistort_source(frames, cfg))
@@ -215,8 +306,10 @@ def run_ellc_lc(frames: Iterable[np.ndarray], cfg: ELLCConfig,
             break
 
         start_id = frame_id
+        t0 = _time.perf_counter()
         state, rec = _track_batch(state, buf, start_id, cfg, closer,
-                                  base_world=base_world)
+                                  base_world=base_world, stats=stats)
+        t0 = _mark("track", t0)
         frame_id += len(buf)
         num_batches += 1
 
@@ -228,6 +321,7 @@ def run_ellc_lc(frames: Iterable[np.ndarray], cfg: ELLCConfig,
             raw.append((int(row[0]), w))
 
         # --- rotation averaging over this batch ---
+        t0 = _time.perf_counter()
         out = _rotation_average_batch(rec, cfg)
         # accumulate corrected world poses: rows are w.r.t. the transition
         # frame; compose onto the corrected base (small_batch_rotavg.m:43-50)
@@ -251,6 +345,7 @@ def run_ellc_lc(frames: Iterable[np.ndarray], cfg: ELLCConfig,
         # (len(buf) is a multiple of K, so end_fid is a keyframe)
         assert end_world is not None, \
             f"RA output is missing the transition keyframe {end_fid}"
+        t0 = _mark("ra", t0)
 
         # --- replay the batch from the saved transition depth with the
         # corrected rotations as initialization ---
@@ -266,7 +361,7 @@ def run_ellc_lc(frames: Iterable[np.ndarray], cfg: ELLCConfig,
             state, rec_replay = _track_batch(
                 state=replay_state, frames=buf, start_frame_id=start_id,
                 cfg=cfg, closer=None, replay=True,
-                init_rotations=init_rots)
+                init_rotations=init_rots, stats=stats)
             # the replayed final state seeds the next batch; the next
             # batch's poses chain from the corrected end-of-batch pose
             base_world = end_world
@@ -276,6 +371,7 @@ def run_ellc_lc(frames: Iterable[np.ndarray], cfg: ELLCConfig,
             # to the replay origin — rebase it to zero
             state = state._replace(
                 kf=state.kf._replace(world_pose=jnp.zeros(6)))
+            t0 = _mark("replay", t0)
 
         batch_no += 1
         if len(extra_frames):
@@ -307,7 +403,9 @@ def run_ellc_lc(frames: Iterable[np.ndarray], cfg: ELLCConfig,
 
     sim3_ps = None
     if cfg.do_sim3_refine and len(ids) > cfg.keyframe_interval:
+        t0 = _time.perf_counter()
         sim3_ps = _sim3_refine_trajectory(ids, ps, closer.edges, cfg)
+        _mark("sim3", t0)
         if out_dir and sim3_ps is not None:
             with ellc_io.PoseWriter(
                     os.path.join(out_dir, "poses_sim3.txt")) as w:

@@ -308,7 +308,8 @@ def process_interval(state: PipelineState, images: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "replay"))
 def process_intervals(state: PipelineState, images: jnp.ndarray,
-                      cfg: ELLCConfig, replay: bool = False
+                      cfg: ELLCConfig, replay: bool = False,
+                      init_rotations: Optional[jnp.ndarray] = None
                       ) -> Tuple[PipelineState, FrameOutput]:
     """Scan N whole keyframe intervals in ONE XLA dispatch.
 
@@ -318,10 +319,24 @@ def process_intervals(state: PipelineState, images: jnp.ndarray,
     the main single-video throughput lever.  Outputs come back stacked
     (N, K, ...); keyframe snapshots (the loop-closure window feed) are
     stacked per interval when the window is enabled.
+
+    ``init_rotations`` (N, K, 6) provides per-frame RA world-rotation
+    initializations — the LC replay phase (closer=None, so no window
+    feed is needed between intervals) batches its whole batch replay
+    into this one dispatch.
     """
-    def body(st, imgs):
-        st, outs, snapshot = process_interval(st, imgs, cfg, replay)
+    def body(st, xs):
+        imgs, rots = xs
+        st, outs, snapshot = process_interval(st, imgs, cfg, replay,
+                                              init_rotations=rots)
         return st, (outs, snapshot)
 
-    state, (outs, snapshots) = jax.lax.scan(body, state, images)
+    if init_rotations is None:
+        def body_plain(st, imgs):
+            st, outs, snapshot = process_interval(st, imgs, cfg, replay)
+            return st, (outs, snapshot)
+        state, (outs, snapshots) = jax.lax.scan(body_plain, state, images)
+    else:
+        state, (outs, snapshots) = jax.lax.scan(
+            body, state, (images, init_rotations))
     return state, outs, snapshots

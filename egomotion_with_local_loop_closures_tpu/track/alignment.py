@@ -314,15 +314,25 @@ def align_const_weight(kf_levels: Tuple[KeyframeLevel, ...],
 def gn_level(kf: KeyframeLevel, cur: CurrentLevel, pose0: jnp.ndarray,
              level: int, cfg: ELLCConfig, num_iters: int):
     """Run ``num_iters`` GN updates at one level with the reference's
-    early-out-as-freeze-mask.  Returns (pose, weighted_pose, iters_used)."""
+    early-out-as-freeze-mask.  Returns (pose, weighted_pose, iters_used,
+    stats) where stats = (energy, valid_count, oow) from the last LIVE
+    linearization.
+
+    Converged iterations SKIP the linearization entirely via ``lax.cond``
+    — the reference breaks its iteration loop on weightedPose < 1
+    (ImageFunc.cpp:251-252); the round-4 formulation froze the carry but
+    still paid the full dense linearization for every budgeted iteration
+    (the dominant part of the 11.5 ms/frame dense floor, BASELINE.md).
+    On TPU ``cond`` with a traced predicate executes one branch; under
+    vmap (multi-video batching) it lowers to select = the old behaviour,
+    so this is never a pessimization."""
     intr = cfg.level_intrinsics(level)
     term_w = jnp.asarray(cfg.termination_weights, dtype=pose0.dtype)
     window = cfg.warp_window[level] if cfg.use_window_warp else None
 
-    def body(carry, _):
-        pose, done, wp_last, iters = carry
-        Hmat, g, _, _, _ = _gn_quantities(kf, cur, pose, intr, cfg,
-                                          window=window)
+    def live(pose, done, wp_last, iters, stats):
+        Hmat, g, energy, valid, oow = _gn_quantities(kf, cur, pose, intr,
+                                                     cfg, window=window)
         delta = -linear.solve_spd(
             Hmat + 1e-12 * jnp.eye(6, dtype=Hmat.dtype), g)
         # near-singular systems yield finite-but-astronomical deltas that
@@ -333,17 +343,28 @@ def gn_level(kf: KeyframeLevel, cur: CurrentLevel, pose0: jnp.ndarray,
         delta = jnp.where(ok, delta, 0.0)
         new_pose = lie.compose(delta, pose)
         wp = jnp.sum(jnp.abs(delta * term_w))
-        # freeze once converged (ImageFunc.cpp:251-252) or on solver failure
-        pose = jnp.where(done, pose, new_pose)
-        wp_last = jnp.where(done, wp_last, wp)
-        iters = iters + jnp.where(done, 0, 1)
-        done = done | (wp < 1.0) | (~ok)
-        return (pose, done, wp_last, iters), None
+        # freeze once converged (ImageFunc.cpp:251-252) or on solver
+        # failure; the converged update itself is still applied
+        return (new_pose, (wp < 1.0) | (~ok), wp, iters + 1,
+                (energy, valid, oow))
 
-    init = (pose0, jnp.asarray(False), jnp.asarray(jnp.inf, pose0.dtype),
-            jnp.asarray(0, jnp.int32))
-    (pose, _, wp, iters), _ = jax.lax.scan(body, init, None, length=num_iters)
-    return pose, wp, iters
+    def body(carry, _):
+        pose, done, wp_last, iters, stats = carry
+        carry = jax.lax.cond(
+            done,
+            lambda p, d, w, i, s: (p, d, w, i, s),
+            live,
+            pose, done, wp_last, iters, stats)
+        return carry, None
+
+    f32 = pose0.dtype
+    init = (pose0, jnp.asarray(False), jnp.asarray(jnp.inf, f32),
+            jnp.asarray(0, jnp.int32),
+            (jnp.asarray(0.0, f32), jnp.asarray(0.0, f32),
+             jnp.asarray(0.0, f32)))
+    (pose, _, wp, iters, stats), _ = jax.lax.scan(body, init, None,
+                                                  length=num_iters)
+    return pose, wp, iters, stats
 
 
 def align(kf_levels: Tuple[KeyframeLevel, ...],
@@ -357,21 +378,28 @@ def align(kf_levels: Tuple[KeyframeLevel, ...],
     ``pose0`` is the initial guess of the current frame w.r.t. the keyframe
     (se(3) twist); returns the refined pose and diagnostics.  Mirrors the
     pyramid loop of GetImagePoseEstimate (ImageFunc.cpp:150-299).
-    """
+
+    Diagnostics (energy / valid_fraction / oow_fraction) come from the
+    finest level's LAST live linearization — evaluated at the pose before
+    its final update, one GN step stale.  The round-4 version spent a
+    full extra level-0 linearization (~1.5 ms/frame) to evaluate them at
+    the exact final pose; the statistics differ by <1% over ~10^5 pixels
+    and are purely observational (FrameOutput diagnostics)."""
     if max_iters is None:
         max_iters = cfg.max_iters
     pose = pose0
     wps = []
     iters_used = []
+    stats0 = None
     for level in range(cfg.num_levels - 1, -1, -1):
-        pose, wp, it = gn_level(kf_levels[level], cur_levels[level], pose,
-                                level, cfg, int(max_iters[level]))
+        pose, wp, it, stats = gn_level(kf_levels[level], cur_levels[level],
+                                       pose, level, cfg,
+                                       int(max_iters[level]))
         wps.append(wp)
         iters_used.append(it)
-    H0, g0, energy, valid, oow = _gn_quantities(
-        kf_levels[0], cur_levels[0], pose, cfg.level_intrinsics(0), cfg,
-        window=cfg.warp_window[0] if cfg.use_window_warp else None)
-    del H0, g0
+        if level == 0:
+            stats0 = stats
+    energy, valid, oow = stats0
     total = kf_levels[0].image.size
     diag = AlignDiagnostics(
         weighted_pose=wps[-1],

@@ -343,3 +343,64 @@ def test_stereo_u8_quad_close_to_u16():
     i8 = np.asarray(out8.state.idepth)[both]
     med = float(np.median(np.abs(i16 - i8) / np.maximum(np.abs(i16), 1e-6)))
     assert med < 0.05, f"median idepth disagreement {med}"
+
+
+def test_pool_drop_rotation_cycles_overflow():
+    """Under sustained overflow, the rotated _pool_indices must drop a
+    DIFFERENT create subset for different rot values (ADVICE r4: the
+    fixed permutation starved the same trailing pixels every frame),
+    while with sufficient capacity the pooled SET is rot-independent."""
+    HW = 256
+    perm = stereo._interleave_perm(HW)
+    mask = np.zeros(HW, bool)
+    mask[: 128] = True          # 128 candidates (in permuted order)
+    mask_p = jnp.asarray(mask)
+
+    cap = 64                    # overflow: only half fit
+    sets = []
+    for rot in (0, 64, 128):
+        idx, ovf = stereo._pool_indices(mask_p, None, cap, perm, HW,
+                                        rot=jnp.asarray(rot, jnp.int32))
+        assert int(ovf) == 64
+        s = set(int(v) for v in np.asarray(idx) if int(v) < HW)
+        assert len(s) == cap
+        sets.append(s)
+    assert sets[0] != sets[1], "rotation did not change the dropped set"
+    # rot=128 == n_candidates wraps to the same set as rot=0
+    assert sets[0] == sets[2]
+    # full coverage across a rotation cycle: every candidate pooled
+    assert sets[0] | sets[1] == {i for i in range(HW)
+                                 if mask[int(np.asarray(perm)[i])]} or \
+        len(sets[0] | sets[1]) == 128
+
+    # ample capacity: the pooled set must be identical for every rot
+    cap = 192
+    ref = None
+    for rot in (0, 7, 31):
+        idx, ovf = stereo._pool_indices(mask_p, None, cap, perm, HW,
+                                        rot=jnp.asarray(rot, jnp.int32))
+        assert int(ovf) == 0
+        s = set(int(v) for v in np.asarray(idx) if int(v) < HW)
+        if ref is None:
+            ref = s
+        assert s == ref
+
+
+def test_pool_rotation_preserves_priority():
+    """Priority (existing-hypothesis) pixels must keep claiming capacity
+    first regardless of the create-rank rotation."""
+    HW = 256
+    perm = stereo._interleave_perm(HW)
+    mask = np.zeros(HW, bool)
+    mask[:128] = True
+    prio = np.zeros(HW, bool)
+    prio[:32] = True            # 32 priority pixels among the candidates
+    cap = 48                    # room for all priority + 16 creates
+    prio_set = {int(np.asarray(perm)[i]) for i in range(32)}
+    for rot in (0, 5, 77):
+        idx, ovf = stereo._pool_indices(
+            jnp.asarray(mask), jnp.asarray(prio), cap, perm, HW,
+            rot=jnp.asarray(rot, jnp.int32))
+        pooled = set(int(v) for v in np.asarray(idx) if int(v) < HW)
+        assert prio_set <= pooled, "priority pixel dropped under rotation"
+        assert int(ovf) == 128 - cap

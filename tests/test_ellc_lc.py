@@ -46,16 +46,19 @@ def test_ellc_lc_runs_batches_and_corrects(tmp_path):
     ids = list(res.frame_ids)
     f_b = int(res.frame_ids[-1])
     f_a = f_b - 8
-    if f_a in ids:
-        def rel_err(poses, ids_):
-            pa = jnp.asarray(poses[ids_.index(f_a)])
-            pb = jnp.asarray(poses[ids_.index(f_b)])
-            rel_est = lie.relative(pb, pa)
-            rel_gt = lie.relative(gt[f_b - 1], gt[f_a - 1])
-            return float(lie.rotation_angle_deg(
-                lie.exp_se3(rel_est)[:3, :3], lie.exp_se3(rel_gt)[:3, :3]))
-        ang = rel_err(res.world_poses, ids)
-        assert ang < 5.0, f"corrected relative rotation error {ang}"
+    # unconditional: if the id bookkeeping ever drops f_a the test must
+    # FAIL, not silently skip the accuracy check
+    assert f_a in ids, f"frame {f_a} missing from corrected ids {ids}"
+
+    def rel_err(poses, ids_):
+        pa = jnp.asarray(poses[ids_.index(f_a)])
+        pb = jnp.asarray(poses[ids_.index(f_b)])
+        rel_est = lie.relative(pb, pa)
+        rel_gt = lie.relative(gt[f_b - 1], gt[f_a - 1])
+        return float(lie.rotation_angle_deg(
+            lie.exp_se3(rel_est)[:3, :3], lie.exp_se3(rel_gt)[:3, :3]))
+    ang = rel_err(res.world_poses, ids)
+    assert ang < 2.0, f"corrected relative rotation error {ang}"
 
     # output file written
     import os

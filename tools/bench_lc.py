@@ -56,8 +56,9 @@ def main() -> int:
     t0 = time.perf_counter()
     res = ellc_lc.run_ellc_lc(iter(frames), cfg)
     warm_lc = time.perf_counter() - t0
+    stats = {}
     t0 = time.perf_counter()
-    res = ellc_lc.run_ellc_lc(iter(frames), cfg)
+    res = ellc_lc.run_ellc_lc(iter(frames), cfg, stats=stats)
     dt_lc = time.perf_counter() - t0
     fps_lc = len(res.frame_ids) / dt_lc
 
@@ -70,6 +71,7 @@ def main() -> int:
         "gn_mode_fps_same_frames": round(fps_gn, 2),
         "lc_overhead_factor": round(fps_gn / fps_lc, 2),
         "warmup_s": {"gn": round(warm_gn, 1), "lc": round(warm_lc, 1)},
+        "phase_s": {k: round(v, 2) for k, v in sorted(stats.items())},
         "note": "LC tracks every batch twice (GN + {5,1,1,1} replay, "
                 "ToggleFlags.h:34-46) plus RA + loop-window pushes",
     }))

@@ -31,6 +31,44 @@ ORIG_CY = 1080 / 2.0
 DISTORTION = (-0.288283, 0.146546, 0.003800, -0.001690, -0.132134)  # EV:62
 
 
+def build_scene_and_poses(scene_kind: str, seed: int, frames: int,
+                          rot_step: float = 0.0015,
+                          trans_step: float = 0.02):
+    """Scene/trajectory factory for the multi-scene parity battery.
+
+    - ``base``:    the original round-2 room + smooth random walk.
+    - ``lowtex``:  the same room with texture amplitude scaled to 45%
+                   (gradients hover near the MIN_ABS_GRAD_* gates — the
+                   regime where both systems' knife-edge behaviour lives).
+    - ``fastrot``: base room, 3x the rotational velocity (egocentric
+                   head-turn regime; stresses the coarse-to-fine basin).
+    - ``revisit``: base room on a BOUNDED oscillating trajectory
+                   (synthetic.loop_trajectory) with genuine viewpoint
+                   revisits — the local-loop-closure workload
+                   (/root/reference/README.md:7-8).
+    """
+    from egomotion_with_local_loop_closures_tpu.utils import synthetic
+    import jax.numpy as jnp
+    scene = synthetic.make_room_scene(seed=seed, depth=1.25,
+                                      half_width=1.7, half_height=1.15)
+    if scene_kind == "lowtex":
+        scene = scene._replace(tex_amp=scene.tex_amp * 0.45)
+        poses = synthetic.trajectory(frames, seed=seed, rot_step=rot_step,
+                                     trans_step=trans_step)
+    elif scene_kind == "fastrot":
+        poses = synthetic.trajectory(frames, seed=seed,
+                                     rot_step=3.0 * rot_step,
+                                     trans_step=trans_step)
+    elif scene_kind == "revisit":
+        poses = jnp.asarray(synthetic.loop_trajectory(
+            frames, seed=seed, rot_amp=0.08, trans_amp=0.12))
+    else:
+        assert scene_kind == "base", scene_kind
+        poses = synthetic.trajectory(frames, seed=seed, rot_step=rot_step,
+                                     trans_step=trans_step)
+    return scene, poses
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=520)
@@ -38,6 +76,8 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--rot-step", type=float, default=0.0015)
     ap.add_argument("--trans-step", type=float, default=0.02)
+    ap.add_argument("--scene", default="base",
+                    choices=["base", "lowtex", "fastrot", "revisit"])
     args = ap.parse_args()
 
     import cv2
@@ -47,11 +87,8 @@ def main() -> int:
     from egomotion_with_local_loop_closures_tpu.utils import synthetic
 
     rows, cols = 1080, 1920
-    scene = synthetic.make_room_scene(seed=args.seed, depth=1.25,
-                                      half_width=1.7, half_height=1.15)
-    poses = synthetic.trajectory(args.frames, seed=args.seed,
-                                 rot_step=args.rot_step,
-                                 trans_step=args.trans_step)
+    scene, poses = build_scene_and_poses(args.scene, args.seed, args.frames,
+                                         args.rot_step, args.trans_step)
 
     data_dir = os.path.join(args.out, "data")
     for sub in ("data", "outputs", "Test_images", "matches", "bin"):

@@ -83,6 +83,12 @@ def main() -> int:
                     help="use the plain XLA-gather bilinear warp instead "
                          "of the shift-and-blend window sampler (gap-source "
                          "experiment: quantifies window censoring)")
+    ap.add_argument("--glibc-init", action="store_true",
+                    help="bit-match the reference's bootstrap depth init "
+                         "(unseeded glibc rand() in raster order, "
+                         "DepthPropagation.cpp:160) so both systems start "
+                         "from IDENTICAL depth — isolates algorithmic "
+                         "divergence from init randomness")
     args = ap.parse_args()
 
     ref = load_reference(os.path.join(args.input, "outputs",
@@ -99,6 +105,8 @@ def main() -> int:
     cfg = ELLCConfig()
     if args.no_window_warp:
         cfg = cfg.replace(use_window_warp=False)
+    if args.glibc_init:
+        cfg = cfg.replace(bootstrap_rng="glibc")
     # stereo-pool capacity overrides for capacity/fidelity tuning sweeps
     if os.environ.get("PARITY_CAPS"):
         long_f, short_f, short_s = os.environ["PARITY_CAPS"].split(",")
