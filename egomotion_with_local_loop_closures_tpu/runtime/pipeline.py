@@ -110,11 +110,16 @@ def make_keyframe(image: jnp.ndarray, st: dstate.DepthMapState,
     # explicit dtypes everywhere: a weak-typed scalar here would give the
     # initial PipelineState a different jit signature than the steady-state
     # one, silently recompiling every step-function twice (~25 s each)
+    # weight_acc only exists when the loop window / recovery can consume
+    # it (saveWeights, PixelWisePyramid.cpp:544-551); in plain GN mode the
+    # empty tuple saves a full image-pyramid's worth of HBM per video
+    # state AND removes the matching vmapped temporaries (VERDICT r4 #4)
     kf = Keyframe(images=imgs,
                   depths=(), vars_=(), gradx=gx, grady=gy, maxgrad=mg,
                   world_pose=jnp.asarray(world_pose, jnp.float32),
                   rescale=jnp.asarray(rescale, jnp.float32),
-                  weight_acc=tuple(jnp.zeros_like(i) for i in imgs),
+                  weight_acc=(tuple(jnp.zeros_like(i) for i in imgs)
+                              if _needs_window(cfg) else ()),
                   weight_count=jnp.asarray(0.0, jnp.float32))
     return _refresh_kf_depth(kf, st, cfg)
 

@@ -56,8 +56,20 @@ def main():
     step = jax.jit(jax.vmap(lambda s, ims: pipeline.process_interval(
         s, ims, cfg)[:2]))
 
+    from egomotion_with_local_loop_closures_tpu.utils import footprint
+
     rows = []
     for V in v_list:
+        # account BEFORE launching: the round-4 V=4 run killed the TPU
+        # worker process outright; XLA's memory analysis of the compiled
+        # program + the device byte limit turn that into a clean skip
+        try:
+            fp = footprint.check_fits(V, cfg)
+            print(f"# {fp.describe()}", flush=True)
+        except MemoryError as e:
+            rows.append({"videos": V, "error": str(e)})
+            print(json.dumps(rows[-1]), flush=True)
+            continue
         batch = batch_all[:V]
         keys = jax.random.split(jax.random.PRNGKey(0), V)
         states0 = init(batch[:, 0], keys)

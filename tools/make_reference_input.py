@@ -82,6 +82,13 @@ def main() -> int:
 
     import cv2
     import jax
+    if os.environ.get("ELLC_PLATFORM"):
+        # the container's sitecustomize registers the TPU-tunnel backend at
+        # interpreter start, so JAX_PLATFORMS alone cannot opt out
+        # (tests/conftest.py); config.update before backend init can.  The
+        # battery's phase-A render subprocesses must stay off the single
+        # TPU chip while phase B (or another bench) owns it.
+        jax.config.update("jax_platforms", os.environ["ELLC_PLATFORM"])
     import jax.numpy as jnp
 
     from egomotion_with_local_loop_closures_tpu.utils import synthetic

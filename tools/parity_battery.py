@@ -4,12 +4,14 @@ Round-4 verdict: every fidelity claim rested on ONE synthetic scene.  This
 driver sweeps scenes x seeds, running the full identical-input protocol per
 combination:
 
-  1. tools/make_reference_input.py --scene S --seed K   (render + the
-     reference's exact JPEG->gray->undistort->resize ingest)
-  2. the unmodified reference binary in GN mode (tools/run_reference.py)
-  3. this framework on the same 480x270 floats (tools/parity_eval.py,
-     optionally with --glibc-init for bit-matched bootstrap depth)
-  4. collect per-combination RPE/ATE/seeds/survival into one table.
+  phase A (CPU, parallel subprocesses):
+     1. tools/make_reference_input.py --scene S --seed K   (render + the
+        reference's exact JPEG->gray->undistort->resize ingest)
+     2. the unmodified reference binary in GN mode (tools/run_reference.py)
+  phase B (one TPU process, jit warmup paid ONCE for all combos):
+     3. parity_eval.evaluate() on the same 480x270 floats (optionally with
+        --glibc-init for bit-matched bootstrap depth)
+     4. collect per-combination RPE/ATE/seeds/survival into one table.
 
 The HUJI EgoSeg dataset the paper evaluates on is not in the container and
 there is no network; this battery is the strongest achievable proxy: same
@@ -18,7 +20,7 @@ binary, same bytes in, trajectory out.
 Usage:
   python tools/parity_battery.py [--scenes base,lowtex,fastrot,revisit]
       [--seeds 0,1,2] [--frames 420] [--glibc-init] [--json out.json]
-      [--skip-existing]
+      [--skip-existing] [--jobs 4]
 """
 
 from __future__ import annotations
@@ -28,14 +30,50 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
 
-def sh(cmd, **kw):
-    print("+", " ".join(cmd), flush=True)
-    return subprocess.run(cmd, check=True, cwd=REPO, **kw)
+def _prepare_combo(scene: str, seed: int, frames: int, root: str,
+                   skip_existing: bool) -> str:
+    """Phase A for one combo: render input + run the reference binary.
+    Runs the renderer on CPU (JAX_PLATFORMS=cpu) so phase A never contends
+    with the single TPU chip.  Returns the reference run dir."""
+    tag = f"{scene}_s{seed}"
+    run_dir = os.path.join(root, tag)
+    npz = os.path.join(run_dir, "frames_480x270.npz")
+    env = dict(os.environ, ELLC_PLATFORM="cpu")
+    if not (skip_existing and os.path.exists(npz)):
+        subprocess.run([sys.executable, "tools/make_reference_input.py",
+                        "--frames", str(frames), "--out", run_dir,
+                        "--seed", str(seed), "--scene", scene],
+                       check=True, cwd=REPO, env=env)
+    ref_poses = os.path.join(run_dir + "_gn", "outputs", "poses_orig.txt")
+    if not (skip_existing and os.path.exists(ref_poses)):
+        subprocess.run([sys.executable, "tools/run_reference.py", "gn",
+                        "--input", run_dir, "--out", run_dir + "_gn"],
+                       check=True, cwd=REPO, env=env)
+    return run_dir + "_gn"
+
+
+def summarize(rows: list[dict]) -> str:
+    lines = ["| scene | seed | ref survives | ours survives | RPE-8f mean / "
+             "p95 / max (deg) | ATE | seeds% ref / ours |",
+             "|---|---|---|---|---|---|---|"]
+    for r in rows:
+        rpe = r.get("rpe_rot_8f", {})
+        lines.append(
+            f"| {r['scene']} | {r['seed']} | "
+            f"{r['reference_tracks_until']} | {r['ours_tracks_until']} | "
+            f"{rpe.get('mean_deg', float('nan')):.2f} / "
+            f"{rpe.get('p95_deg', float('nan')):.2f} / "
+            f"{rpe.get('max_deg', float('nan')):.2f} | "
+            f"{r['ate_sim3_aligned']:.3f} | "
+            f"{r['seeds_reference_mean']:.1f} / "
+            f"{r['seeds_ours_mean']:.1f} |")
+    return "\n".join(lines)
 
 
 def main() -> int:
@@ -48,50 +86,45 @@ def main() -> int:
     ap.add_argument("--skip-existing", action="store_true",
                     help="reuse input/reference artifacts already present")
     ap.add_argument("--root", default="reference_build/battery")
+    ap.add_argument("--jobs", type=int, default=4,
+                    help="phase-A parallelism (render + reference binary)")
+    ap.add_argument("--phase", choices=["all", "prepare", "eval"],
+                    default="all")
     args = ap.parse_args()
 
+    combos = [(scene, int(seed))
+              for scene in args.scenes.split(",")
+              for seed in args.seeds.split(",")]
+
+    if args.phase in ("all", "prepare"):
+        from concurrent.futures import ProcessPoolExecutor
+        t0 = time.time()
+        with ProcessPoolExecutor(max_workers=args.jobs) as ex:
+            futs = {ex.submit(_prepare_combo, sc, sd, args.frames,
+                              args.root, args.skip_existing): (sc, sd)
+                    for sc, sd in combos}
+            for f, (sc, sd) in futs.items():
+                f.result()
+                print(f"prepared {sc}_s{sd}", flush=True)
+        print(f"phase A done in {time.time()-t0:.0f}s", flush=True)
+    if args.phase == "prepare":
+        return 0
+
+    sys.path.insert(0, HERE)
+    from parity_eval import evaluate
+
     rows = []
-    for scene in args.scenes.split(","):
-        for seed in (int(s) for s in args.seeds.split(",")):
-            tag = f"{scene}_s{seed}"
-            run_dir = os.path.join(args.root, tag)
-            npz = os.path.join(run_dir, "frames_480x270.npz")
-            if not (args.skip_existing and os.path.exists(npz)):
-                sh([sys.executable, "tools/make_reference_input.py",
-                    "--frames", str(args.frames), "--out", run_dir,
-                    "--seed", str(seed), "--scene", scene])
-            ref_poses = os.path.join(run_dir + "_gn", "outputs",
-                                     "poses_orig.txt")
-            if not (args.skip_existing and os.path.exists(ref_poses)):
-                sh([sys.executable, "tools/run_reference.py", "gn",
-                    "--input", run_dir, "--out", run_dir + "_gn"])
-            cmd = [sys.executable, "tools/parity_eval.py",
-                   "--input", run_dir + "_gn", "--json"]
-            if args.glibc_init:
-                cmd.append("--glibc-init")
-            out = subprocess.run(cmd, check=True, cwd=REPO,
-                                 capture_output=True, text=True)
-            res = json.loads(out.stdout.strip().splitlines()[-1])
-            res["scene"] = scene
-            res["seed"] = seed
-            rows.append(res)
-            print(json.dumps(res), flush=True)
+    for scene, seed in combos:
+        run_dir = os.path.join(args.root, f"{scene}_s{seed}_gn")
+        t0 = time.time()
+        res = evaluate(run_dir, glibc_init=args.glibc_init)
+        res["scene"] = scene
+        res["seed"] = seed
+        res["eval_s"] = round(time.time() - t0, 1)
+        rows.append(res)
+        print(json.dumps(res), flush=True)
 
-    # summary table (markdown, pasted into BASELINE.md)
-    print("\n| scene | seed | ref survives | ours survives | RPE-8f mean / "
-          "p95 / max (deg) | ATE | seeds% ref / ours |")
-    print("|---|---|---|---|---|---|---|")
-    for r in rows:
-        rpe = r.get("rpe_rot_8f", {})
-        print(f"| {r['scene']} | {r['seed']} | "
-              f"{r['reference_tracks_until']} | {r['ours_tracks_until']} | "
-              f"{rpe.get('mean_deg', float('nan')):.2f} / "
-              f"{rpe.get('p95_deg', float('nan')):.2f} / "
-              f"{rpe.get('max_deg', float('nan')):.2f} | "
-              f"{r['ate_sim3_aligned']:.3f} | "
-              f"{r['seeds_reference_mean']:.1f} / "
-              f"{r['seeds_ours_mean']:.1f} |")
-
+    print("\n" + summarize(rows))
     if args.json:
         with open(args.json, "w") as f:
             json.dump(rows, f, indent=1)

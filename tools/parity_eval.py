@@ -69,31 +69,17 @@ def rpe_rotation(Ra, Rb, L):
     return angle_deg(dRa, dRb)
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    # run_gn = the GN-mode run dir written by tools/run_reference.py gn
-    # (kept separate from the LC-mode run so neither clobbers the other)
-    ap.add_argument("--input", default="reference_build/run_gn")
-    ap.add_argument("--max-frames", type=int, default=None)
-    ap.add_argument("--out", default=None,
-                    help="npz with per-frame curves for root-causing")
-    ap.add_argument("--json", action="store_true")
-    ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--no-window-warp", action="store_true",
-                    help="use the plain XLA-gather bilinear warp instead "
-                         "of the shift-and-blend window sampler (gap-source "
-                         "experiment: quantifies window censoring)")
-    ap.add_argument("--glibc-init", action="store_true",
-                    help="bit-match the reference's bootstrap depth init "
-                         "(unseeded glibc rand() in raster order, "
-                         "DepthPropagation.cpp:160) so both systems start "
-                         "from IDENTICAL depth — isolates algorithmic "
-                         "divergence from init randomness")
-    args = ap.parse_args()
-
-    ref = load_reference(os.path.join(args.input, "outputs",
+def evaluate(input_dir: str, max_frames: int | None = None, seed: int = 0,
+             no_window_warp: bool = False, glibc_init: bool = False,
+             out_npz: str | None = None) -> dict:
+    """Run the framework on ``input_dir``'s shared frames and score it
+    against the reference binary's poses_orig.txt.  Callable in-process so
+    the multi-combination parity battery pays jit warmup ONCE (every
+    scene/seed shares the 480x270 shape family) instead of once per
+    subprocess."""
+    ref = load_reference(os.path.join(input_dir, "outputs",
                                       "poses_orig.txt"))
-    frames = np.load(os.path.join(args.input, "frames_480x270.npz"))["frames"]
+    frames = np.load(os.path.join(input_dir, "frames_480x270.npz"))["frames"]
 
     import jax.numpy as jnp  # noqa: F401  (honest-mode read below)
     _ = float(jnp.asarray(1.0) + 1.0)
@@ -103,9 +89,9 @@ def main() -> int:
     from egomotion_with_local_loop_closures_tpu.utils import metrics
 
     cfg = ELLCConfig()
-    if args.no_window_warp:
+    if no_window_warp:
         cfg = cfg.replace(use_window_warp=False)
-    if args.glibc_init:
+    if glibc_init:
         cfg = cfg.replace(bootstrap_rng="glibc")
     # stereo-pool capacity overrides for capacity/fidelity tuning sweeps
     if os.environ.get("PARITY_CAPS"):
@@ -113,8 +99,8 @@ def main() -> int:
         cfg = cfg.replace(stereo_compact_frac=float(long_f),
                           stereo_short_frac=float(short_f),
                           stereo_short_steps=int(short_s))
-    n = args.max_frames or len(frames)
-    res = runner.run_sequence(iter(frames[:n]), cfg, seed=args.seed)
+    n = max_frames or len(frames)
+    res = runner.run_sequence(iter(frames[:n]), cfg, seed=seed)
 
     # the comparison window: the synthetic sequence has a low-texture
     # section where BOTH systems eventually lose tracking (the reference
@@ -170,15 +156,42 @@ def main() -> int:
     if len(seeds_r) > 2:
         out["seeds_correlation"] = float(np.corrcoef(seeds_r, seeds_o)[0, 1])
 
-    if args.out:
-        np.savez(args.out, frame_id=np.asarray(common),
+    if out_npz:
+        np.savez(out_npz, frame_id=np.asarray(common),
                  angle_deg=angle_deg(
                      Rr, Ro @ (Ro[0].T @ Rr[0])[None]),
                  pose_ref=pose_r, pose_ours=pose_o,
                  seeds_ref=seeds_r, seeds_ours=seeds_o,
                  rescale_ref=ref["rescale"][idx_r],
                  rescale_ours=res.rescales[idx_o])
+    return out
 
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    # run_gn = the GN-mode run dir written by tools/run_reference.py gn
+    # (kept separate from the LC-mode run so neither clobbers the other)
+    ap.add_argument("--input", default="reference_build/run_gn")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--out", default=None,
+                    help="npz with per-frame curves for root-causing")
+    ap.add_argument("--json", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no-window-warp", action="store_true",
+                    help="use the plain XLA-gather bilinear warp instead "
+                         "of the shift-and-blend window sampler (gap-source "
+                         "experiment: quantifies window censoring)")
+    ap.add_argument("--glibc-init", action="store_true",
+                    help="bit-match the reference's bootstrap depth init "
+                         "(unseeded glibc rand() in raster order, "
+                         "DepthPropagation.cpp:160) so both systems start "
+                         "from IDENTICAL depth — isolates algorithmic "
+                         "divergence from init randomness")
+    args = ap.parse_args()
+
+    out = evaluate(args.input, max_frames=args.max_frames, seed=args.seed,
+                   no_window_warp=args.no_window_warp,
+                   glibc_init=args.glibc_init, out_npz=args.out)
     if args.json:
         print(json.dumps(out))
     else:
