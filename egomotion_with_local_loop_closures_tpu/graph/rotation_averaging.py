@@ -146,11 +146,19 @@ def _solve_weighted(A: jnp.ndarray, B: jnp.ndarray, w: jnp.ndarray
 
 def irls_refine(QQ: jnp.ndarray, I: jnp.ndarray, n: int, Q0: jnp.ndarray,
                 sigma_deg: float = 5.0, max_iters: int = 100,
-                tol: float = 1e-3) -> jnp.ndarray:
-    """Chatterjee-Govindu IRLS (RobustMeanSO3Graph.m:130-191)."""
+                tol: float = 1e-3,
+                n_real: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Chatterjee-Govindu IRLS (RobustMeanSO3Graph.m:130-191).
+
+    ``n`` may include zero-degree PADDING nodes (their incidence columns
+    are all-zero, so the damped normal equations pin their updates to 0
+    and they stay at Q0); ``n_real``, when given, keeps the convergence
+    score divided by the true node count so padding cannot perturb the
+    iteration-for-iteration numerics (RobustMeanSO3Graph.m:171)."""
     sigma = sigma_deg * jnp.pi / 180.0
     A = _incidence(I, n)
     m = I.shape[1]
+    n_score = n if n_real is None else n_real
 
     def cond(carry):
         Q, w, score, it = carry
@@ -163,7 +171,7 @@ def irls_refine(QQ: jnp.ndarray, I: jnp.ndarray, n: int, Q0: jnp.ndarray,
         E = A @ X - B
         new_w = sigma / (jnp.sum(E * E, axis=1) + sigma * sigma)
         dW = jnp.concatenate([jnp.zeros((1, 3)), X], axis=0)
-        score = jnp.sum(jnp.linalg.norm(X, axis=1)) / n
+        score = jnp.sum(jnp.linalg.norm(X, axis=1)) / n_score
         Q = _apply_update(Q, dW)
         return Q, new_w, score, it + 1
 
@@ -248,19 +256,22 @@ def average_so3_graph(RR: np.ndarray, I: np.ndarray,
     RR_sub = np.einsum("nij,nj,njk->nik", U, np.round(S), Vt)
 
     QQ = np.asarray(lie.quat_from_matrix(jnp.asarray(RR_sub)))
-    Q0 = spanning_tree_init(QQ, I_sub, int(keep.sum()))
+    n_keep = int(keep.sum())
+    Q0 = spanning_tree_init(QQ, I_sub, n_keep)
 
-    # pad the edge list to a power-of-2 bucket (min 16) with (0, 0)
-    # identity self-edges: their incidence rows are all-zero and their
-    # residuals vanish, so they contribute nothing to either solver —
-    # but the padded shapes recur across batches, so the JITTED solvers
-    # (below) compile once per bucket instead of retracing + recompiling
-    # the while_loop/scan programs on EVERY rotation-averaging call (the
-    # dominant cost of LC mode before round 4).  Round 5 coarsened the
-    # buckets from multiples of 8 to powers of 2: typical LC batches
-    # (1 delim + 4-10 KF edges + a handful of loop edges) land in ONE
-    # bucket (16), cutting the warmup's solver-compile count ~4x for a
-    # few extra identity edges of dense-solve work
+    # pad BOTH the edge list and the node set to power-of-2 buckets
+    # (min 16): padding edges are (0, 0) identity self-edges (all-zero
+    # incidence rows, vanishing residuals); padding nodes are zero-degree
+    # identity nodes (all-zero incidence columns, pinned by the damped
+    # normal equations).  Neither contributes to any solve, but the
+    # padded shapes recur across batches, so the JITTED solvers (below)
+    # compile once per bucket instead of retracing + recompiling the
+    # while_loop/scan programs on EVERY rotation-averaging call (the
+    # dominant cost of LC mode before round 4).  Round 5 added the NODE
+    # bucket: the bootstrap batch (11 KF nodes) and steady batches
+    # (5 KF nodes) previously compiled separate solver variants per node
+    # count; both now share n=16, roughly halving the RA-solver share of
+    # LC warmup.  n_real keeps the IRLS convergence score exact.
     m = I_sub.shape[1]
     mp = 16
     while mp < m:
@@ -271,15 +282,22 @@ def average_so3_graph(RR: np.ndarray, I: np.ndarray,
         QQ = np.concatenate(
             [QQ, np.tile(np.asarray([[1.0, 0, 0, 0]], QQ.dtype),
                          (mp - m, 1))], axis=0)
+    np_ = 16
+    while np_ < n_keep:
+        np_ *= 2
+    if np_ != n_keep:
+        Q0 = np.concatenate(
+            [Q0, np.tile(np.asarray([[1.0, 0, 0, 0]], Q0.dtype),
+                         (np_ - n_keep, 1))], axis=0)
 
     QQj = jnp.asarray(QQ)
     Ij = jnp.asarray(I_sub)
-    Q = _l1_init_jit(QQj, Ij, int(keep.sum()), jnp.asarray(Q0),
+    Q = _l1_init_jit(QQj, Ij, np_, jnp.asarray(Q0),
                      max_iters=l1_iters)
-    Q = _irls_refine_jit(QQj, Ij, int(keep.sum()), Q, sigma_deg=sigma_deg,
-                         max_iters=irls_iters, tol=tol)
-
-    R_sub = np.asarray(lie.matrix_from_quat(Q))
+    Q = _irls_refine_jit(QQj, Ij, np_, Q, sigma_deg=sigma_deg,
+                         max_iters=irls_iters, tol=tol,
+                         n_real=jnp.asarray(n_keep, jnp.float32))
+    R_sub = np.asarray(lie.matrix_from_quat(Q))[:n_keep]
     out = np.tile(np.eye(3), (n, 1, 1))
     out[keep] = R_sub
     return out

@@ -44,12 +44,18 @@ from egomotion_with_local_loop_closures_tpu.track import alignment
 
 
 class LoopEntry(NamedTuple):
-    """One keyframe snapshot in the window (LoopFrame.h:24-37)."""
+    """Host-side metadata for one keyframe in the window (LoopFrame.h:24-37).
+
+    The image-sized payload (keyframe pyramid, weights, histogram, world
+    pose) lives in the LoopCloser's device-resident RING BUFFERS, indexed
+    by ``slot`` — round 4 stored per-entry arrays here and re-stacked them
+    with ``jnp.stack`` on every matching push, which on the TPU tunnel
+    costs ~0.5 s per full-resolution stack (~16 stacks per push ≈ 42% of
+    LC-mode wall time).  A push is now ONE jitted dynamic-update dispatch
+    and the rematch gathers candidates inside its own jit."""
     frame_id: int
-    kf_levels: Tuple[alignment.KeyframeLevel, ...]
-    weight_levels: Tuple[jnp.ndarray, ...]
-    hist: jnp.ndarray            # (256,)
-    world_pose: jnp.ndarray      # (6,)
+    slot: int                    # row in the ring buffers
+    world_pose: jnp.ndarray      # (6,) device ref (recovery / metadata)
     origin_pose: jnp.ndarray     # (6,)
     rescale: float
     seeds: float
@@ -124,6 +130,34 @@ def _gate_stats(hists: jnp.ndarray, entry_hist: jnp.ndarray,
     return kls, angles, rels
 
 
+# one dispatch per trigger evaluation instead of ~30 eager tunnel
+# round-trips (~3.3 s eager vs ~28 ms jitted, measured round 5)
+_trigger_angle_jit = jax.jit(trigger_angle_deg)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _window_insert(buf, slot: jnp.ndarray, new):
+    """Write one keyframe's payload into ring-buffer row ``slot`` in a
+    single donated dispatch (the buffers update in place on device)."""
+    return jax.tree.map(lambda b, n: b.at[slot].set(n), buf, new)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _rematch_from_window(buf_kf, buf_w, rels: jnp.ndarray,
+                         slot_idx: jnp.ndarray, cur_levels,
+                         cfg: ELLCConfig):
+    """Gather the padded candidate rows from the ring buffers and run the
+    batched constant-weight rematch — candidate selection AND alignment
+    fused into one dispatch (two compiled variants: B=4, B=20)."""
+    kf_stack = jax.tree.map(lambda a: a[slot_idx], buf_kf)
+    w_stack = jax.tree.map(lambda a: a[slot_idx], buf_w)
+    pose0s = rels[slot_idx]
+    return jax.vmap(
+        lambda k, w, p: alignment.align_const_weight(k, w, cur_levels, p,
+                                                     cfg))(
+        kf_stack, w_stack, pose0s)
+
+
 def rms_rotation_error(pose_a, pose_b) -> float:
     """The reference's 'rms_error': euclidean distance of the rotation
     components of the two world twists (GlobalOptimize.cpp:421)."""
@@ -133,10 +167,22 @@ def rms_rotation_error(pose_a, pose_b) -> float:
 
 @dataclasses.dataclass
 class LoopCloser:
-    """Sliding-window loop-closure detector + rematcher."""
+    """Sliding-window loop-closure detector + rematcher.
+
+    The window's image-sized payload lives in device-resident ring
+    buffers (``buf_kf``/``buf_w``/``buf_hist``/``buf_pose``, each with a
+    leading ``cfg.loop_window`` axis); ``entries`` holds only host
+    metadata + the slot assignment.  Push = one donated
+    dynamic-update dispatch; gates = one batched dispatch over all
+    slots; rematch = one gather+align dispatch (see _window_insert /
+    _gate_stats / _rematch_from_window)."""
     cfg: ELLCConfig
     entries: List[LoopEntry] = dataclasses.field(default_factory=list)
     edges: List[LoopEdge] = dataclasses.field(default_factory=list)
+    buf_kf: object = None        # stacked KeyframeLevel pytree
+    buf_w: object = None         # stacked weight pyramids
+    buf_hist: object = None      # (W, bins)
+    buf_pose: object = None      # (W, 6)
     # detectedShortLoopClosure hysteresis latch (GlobalOptimize.cpp:33,
     # :690-704); starts False and is forced True when the trigger is off
     trigger_active: bool = False
@@ -145,12 +191,19 @@ class LoopCloser:
         """triggerRotation (GlobalOptimize.cpp:671-714): turn matching ON
         when the center/view angle exceeds trigger_loop_closure_on, OFF
         again once it falls below trigger_loop_closure_off."""
-        theta = float(trigger_angle_deg(world_pose))
+        theta = float(_trigger_angle_jit(jnp.asarray(world_pose)))
         if not self.trigger_active and theta > self.cfg.trigger_loop_closure_on:
             self.trigger_active = True
         elif self.trigger_active and theta < self.cfg.trigger_loop_closure_off:
             self.trigger_active = False
         return self.trigger_active
+
+    def _assign_slot(self) -> int:
+        """Ring-buffer slot for a new entry: the evicted entry's row when
+        the window is full, else the next free row."""
+        if len(self.entries) >= self.cfg.loop_window:
+            return self.entries.pop(0).slot
+        return len(self.entries)
 
     def push_keyframe(self, frame_id: int, image: jnp.ndarray,
                       kf_levels: Tuple[alignment.KeyframeLevel, ...],
@@ -165,39 +218,53 @@ class LoopCloser:
         rotation trigger is latched on (GlobalOptimize.cpp:225-237)."""
         cfg = self.cfg
         hist = _hist_jit(image, cfg.histogram_bins)
-        entry = LoopEntry(frame_id=frame_id, kf_levels=kf_levels,
-                          weight_levels=weight_levels, hist=hist,
-                          world_pose=jnp.asarray(world_pose),
-                          origin_pose=jnp.asarray(origin_pose),
-                          rescale=float(rescale), seeds=float(seeds),
-                          depth_state=depth_state)
+        world_pose = jnp.asarray(world_pose)
         do_match = match and (self.update_trigger(world_pose)
                               if cfg.use_loop_closure_trigger else True)
-        new_edges = self._find_matches(entry, image) if do_match else []
-        self.entries.append(entry)
-        if len(self.entries) > cfg.loop_window:
-            self.entries.pop(0)
+        new_edges = (self._find_matches(frame_id, hist, world_pose, image)
+                     if do_match else [])
+        # insert AFTER matching: the window never contains the new entry
+        slot = self._assign_slot()
+        if self.buf_kf is None:
+            W = cfg.loop_window
+            zeros = lambda t: jax.tree.map(     # noqa: E731
+                lambda a: jnp.zeros((W,) + a.shape, a.dtype), t)
+            self.buf_kf = zeros(kf_levels)
+            self.buf_w = zeros(weight_levels)
+            self.buf_hist = zeros(hist)
+            self.buf_pose = zeros(world_pose)
+        buf = _window_insert(
+            (self.buf_kf, self.buf_w, self.buf_hist, self.buf_pose),
+            jnp.asarray(slot, jnp.int32),
+            (kf_levels, weight_levels, hist, world_pose))
+        self.buf_kf, self.buf_w, self.buf_hist, self.buf_pose = buf
+        self.entries.append(LoopEntry(
+            frame_id=frame_id, slot=slot, world_pose=world_pose,
+            origin_pose=jnp.asarray(origin_pose),
+            rescale=float(rescale), seeds=float(seeds),
+            depth_state=depth_state))
         self.edges.extend(new_edges)
         return new_edges
 
-    def _candidates(self, entry: LoopEntry):
+    def _candidates(self, frame_id: int, entry_hist, entry_pose):
         """Window indices passing all gates, walked newest -> oldest, plus
         the batched gate statistics (KL, view angle) for edge metadata.
 
-        The gates run as ONE batched computation over the whole window;
-        the walk itself (ordering + the min_wait_count cooldown,
-        GlobalOptimize.cpp:464-474) is host-side bookkeeping over the
-        resulting booleans."""
+        The gates run as ONE batched computation over the whole ring
+        buffer (stale slots masked by the entries list); the walk itself
+        (ordering + the min_wait_count cooldown, GlobalOptimize.cpp:
+        464-474) is host-side bookkeeping over the resulting booleans."""
         cfg = self.cfg
         if not self.entries:
             return [], None, None, None
-        hists = jnp.stack([e.hist for e in self.entries])
-        poses = jnp.stack([e.world_pose for e in self.entries])
         # KL(old || current): old histogram is p (GlobalOptimize.cpp:348)
-        kls_d, angles_d, rels = _gate_stats(hists, entry.hist, poses,
-                                            entry.world_pose)
-        kls = np.asarray(kls_d)
-        angles = np.asarray(angles_d)
+        kls_d, angles_d, rels = _gate_stats(self.buf_hist, entry_hist,
+                                            self.buf_pose, entry_pose)
+        kls_s = np.asarray(kls_d)
+        angles_s = np.asarray(angles_d)
+        slots = [e.slot for e in self.entries]
+        kls = kls_s[slots]          # window order (oldest -> newest)
+        angles = angles_s[slots]
         out = []
         wait = 0
         for i in range(len(self.entries) - 1, -1, -1):
@@ -206,7 +273,7 @@ class LoopCloser:
                 wait -= 1
                 continue
             e = self.entries[i]
-            if entry.frame_id - e.frame_id <= cfg.min_match_difference:
+            if frame_id - e.frame_id <= cfg.min_match_difference:
                 continue
             if kls[i] > cfg.match_threshold:
                 continue
@@ -218,49 +285,44 @@ class LoopCloser:
 
     @staticmethod
     def _pad_bucket(n: int) -> int:
-        """Pad the candidate batch to one of TWO sizes (4, 20) so the
-        batched rematch compiles exactly two jit variants.  Round 4 used
-        power-of-2 buckets {1, 2, 4, 8, 16} — five compiles of the
-        heaviest program in the repo (4-level batched alignment at full
-        resolution), a large slice of LC mode's ~840 s warmup.  Padding
-        a 1-candidate rematch to 4 costs ~3 ms of extra batched compute
-        per match; one avoided compile pays for ~10^4 of those.  20 is
-        the window size (EV:161 MAX_LOOP_ARRAY_LENGTH) = the hard cap on
-        candidates."""
-        return 4 if n <= 4 else 20
+        """Pad the candidate batch to ONE size — the window cap (20,
+        EV:161 MAX_LOOP_ARRAY_LENGTH) — so the batched rematch compiles
+        exactly one jit variant.  Round 4 used buckets {4, 20}; round 5
+        dropped the 4-bucket: the second compile of the heaviest program
+        in the repo (4-level batched alignment at full resolution,
+        ~60-100 s) costs more warmup than the ~50 ms/push of extra
+        batched compute it saved over an entire run (LC warmup budget:
+        VERDICT r4 #3, <300 s)."""
+        return 20
 
-    def _find_matches(self, entry: LoopEntry, image: jnp.ndarray
-                      ) -> List[LoopEdge]:
+    def _find_matches(self, frame_id: int, entry_hist, entry_pose,
+                      image: jnp.ndarray) -> List[LoopEdge]:
         cfg = self.cfg
-        cands, kls, angles, rels = self._candidates(entry)
+        cands, kls, angles, rels = self._candidates(frame_id, entry_hist,
+                                                    entry_pose)
         if not cands:
             return []
         cur_levels = _cur_levels_jit(image, cfg.num_levels)
-        # ONE batched dispatch for every accepted candidate: stack the
-        # window entries' templates/weights and the per-candidate initial
-        # poses (current world relative to the matched KF's world,
-        # ImageFunc.cpp:97-108 with tminus1 = the frame itself), padded to
-        # a size bucket by repeating the first candidate
+        # ONE fused dispatch for every accepted candidate: gather the
+        # candidates' ring-buffer rows and their initial poses (current
+        # world relative to the matched KF's world, ImageFunc.cpp:97-108
+        # with tminus1 = the frame itself) inside the jit, padded to a
+        # size bucket by repeating the first candidate
         B = self._pad_bucket(len(cands))
         padded = cands + [cands[0]] * (B - len(cands))
-        kf_stack = jax.tree.map(
-            lambda *xs: jnp.stack(xs), *[self.entries[i].kf_levels
-                                         for i in padded])
-        w_stack = jax.tree.map(
-            lambda *xs: jnp.stack(xs), *[self.entries[i].weight_levels
-                                         for i in padded])
-        pose0s = rels[jnp.asarray(padded, jnp.int32)]
-        poses, _ = alignment.align_const_weight_batch_jit(
-            kf_stack, w_stack, cur_levels, pose0s, cfg)
+        slot_idx = jnp.asarray([self.entries[i].slot for i in padded],
+                               jnp.int32)
+        poses, _ = _rematch_from_window(self.buf_kf, self.buf_w, rels,
+                                        slot_idx, cur_levels, cfg)
         poses = np.asarray(poses)
         edges = []
         for k, i in enumerate(cands):
             e = self.entries[i]
             edges.append(LoopEdge(
-                frame_id=entry.frame_id, matched_kf_id=e.frame_id,
+                frame_id=frame_id, matched_kf_id=e.frame_id,
                 pose_wrt_matched=poses[k],
                 rescale=e.rescale, seeds=e.seeds,
                 match_value=float(kls[i]),
-                rms_error=rms_rotation_error(entry.world_pose, e.world_pose),
+                rms_error=rms_rotation_error(entry_pose, e.world_pose),
                 view_angle=float(angles[i])))
         return edges

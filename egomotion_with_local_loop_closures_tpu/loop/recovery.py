@@ -103,20 +103,23 @@ def find_connection(closer: LoopCloser, frame_id: int,
     if not cands:
         return None
 
-    # pad to one of TWO bucket sizes (4, 20 = the window cap) so the
-    # batched trial jit — full depth propagation per candidate, the
-    # heaviest recovery program — compiles exactly two variants (see
-    # LoopCloser._pad_bucket for the compile-vs-compute accounting)
-    B = 4 if len(cands) <= 4 else 20
+    # pad to ONE bucket size (20 = the window cap) so the batched trial
+    # jit — full depth propagation per candidate, the heaviest recovery
+    # program — compiles exactly one variant (see LoopCloser._pad_bucket
+    # for the compile-vs-compute accounting; recovery fires only on
+    # tracking loss, so the padded compute is irrelevant)
+    B = 20
     padded = cands + [cands[0]] * (B - len(cands))
     ents = [closer.entries[i] for i in padded]
-    kf_stack = jax.tree.map(lambda *xs: jnp.stack(xs),
-                            *[e.kf_levels for e in ents])
-    w_stack = jax.tree.map(lambda *xs: jnp.stack(xs),
-                           *[e.weight_levels for e in ents])
+    # keyframe pyramids/weights live in the closer's device ring buffers
+    # (closure.LoopCloser docstring); gather the candidate rows — a rare
+    # path (tracking loss), so per-leaf eager gathers are fine
+    slot_idx = jnp.asarray([e.slot for e in ents], jnp.int32)
+    kf_stack = jax.tree.map(lambda a: a[slot_idx], closer.buf_kf)
+    w_stack = jax.tree.map(lambda a: a[slot_idx], closer.buf_w)
     d_stack = jax.tree.map(lambda *xs: jnp.stack(xs),
                            *[e.depth_state for e in ents])
-    img_stack = jnp.stack([e.kf_levels[0].image for e in ents])
+    img_stack = kf_stack[0].image
 
     poses, states, rescales, seeds = _batched_trials(
         kf_stack, w_stack, d_stack, img_stack, image, cfg)

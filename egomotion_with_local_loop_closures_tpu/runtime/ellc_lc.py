@@ -116,85 +116,78 @@ def _track_batch(state: pipeline.PipelineState,
 
     kf_id = start_frame_id
     fid = start_frame_id
+    H, W = frames[0].shape
+
+    def _masked_interval_inputs(chunk_frames, lead_dummy):
+        """(K, H, W) images + (K,) valid for one interval whose first
+        ``lead_dummy`` slots are cond-skipped padding (the bootstrap's
+        odd K-1 first interval, process_interval docstring)."""
+        imgs = np.zeros((K, H, W), np.float32)
+        imgs[lead_dummy:] = np.stack(chunk_frames)
+        v = np.zeros(K, bool)
+        v[lead_dummy:] = True
+        return imgs, v
 
     if closer is None:
         # no loop window to feed between intervals (the replay phase):
-        # run the whole batch in at most TWO dispatches — the odd-sized
-        # first interval (bootstrap only), then ONE process_intervals
-        # scan over all remaining intervals.  Per-interval dispatch +
-        # host sync was ~40% of the replay phase's wall time.
+        # dispatch the whole batch as fixed chunks of CH=4 masked
+        # intervals — ONE compiled program (replay + rots + mask) covers
+        # the odd bootstrap interval (leading dummy frame) and the
+        # remainder (trailing dummy intervals) alike; outputs stay on
+        # device until one final sync
         t0 = _time.perf_counter()
-        blocks = []
-        b = 0
-        if first:
-            size = K - 1
-            rots = jnp.asarray(init_rotations[:size]) \
-                if init_rotations is not None else None
-            state, outs, _ = pipeline.process_interval(
-                state, jnp.asarray(np.stack(frames[:size])), cfg,
-                replay=replay, init_rotations=rots)
-            blocks.append((jax.tree.map(np.asarray, outs), size))
-            b = size
-        # remaining intervals in fixed chunks of 4 (ONE process_intervals
-        # jit shape) + a per-interval remainder (reuses the single-
-        # interval jit variant) — bounds replay compiles to 2-3 programs
         CH = 4
-        n_rest = (len(frames) - b) // K
-        c = 0
-        while c < n_rest:
-            if n_rest - c >= CH:
-                take = CH
-                lo = b + c * K
-                stacked = jnp.asarray(np.stack(frames[lo:lo + take * K])
-                                      ).reshape(take, K, *frames[0].shape)
-                rots = jnp.asarray(init_rotations[lo:lo + take * K]
-                                   ).reshape(take, K, 6) \
-                    if init_rotations is not None else None
-                state, outs, _ = pipeline.process_intervals(
-                    state, stacked, cfg, replay=replay, init_rotations=rots)
-                outs = jax.tree.map(
-                    lambda a: np.asarray(a).reshape(take * K, *a.shape[2:]),
-                    outs)
-                blocks.append((outs, take * K))
-            else:
-                take = 1
-                lo = b + c * K
-                rots = jnp.asarray(init_rotations[lo:lo + K]) \
-                    if init_rotations is not None else None
-                state, outs, _ = pipeline.process_interval(
-                    state, jnp.asarray(np.stack(frames[lo:lo + K])), cfg,
-                    replay=replay, init_rotations=rots)
-                blocks.append((jax.tree.map(np.asarray, outs), K))
-            c += take
+        lead = 1 if first else 0
+        n_int = (len(frames) + lead) // K
+        n_chunks = -(-n_int // CH)
+        imgs = np.zeros((n_chunks * CH, K, H, W), np.float32)
+        v = np.zeros((n_chunks * CH, K), bool)
+        kv = np.zeros(n_chunks * CH, bool)
+        rots = np.zeros((n_chunks * CH, K, 6), np.float32)
+        flat = np.stack(frames)
+        imgs.reshape(-1, H, W)[lead:lead + len(frames)] = flat
+        v.reshape(-1)[lead:lead + len(frames)] = True
+        kv[:n_int] = True
+        if init_rotations is not None:
+            rots.reshape(-1, 6)[lead:lead + len(frames)] = init_rotations
+        blocks = []
+        for c in range(n_chunks):
+            state, outs, _ = pipeline.process_intervals(
+                state, jnp.asarray(imgs[c * CH:(c + 1) * CH]), cfg,
+                replay=replay,
+                init_rotations=jnp.asarray(rots[c * CH:(c + 1) * CH]),
+                valid=jnp.asarray(v[c * CH:(c + 1) * CH]),
+                kf_valid=jnp.asarray(kv[c * CH:(c + 1) * CH]))
+            blocks.append(outs)           # device-resident until the end
+        outs = jax.tree.map(
+            lambda *xs: np.concatenate([np.asarray(x).reshape(
+                -1, *x.shape[2:]) for x in xs], axis=0), *blocks)
         _mark("interval", t0)
-        for outs, n in blocks:
-            j0 = 0
-            while j0 < n:
-                size = min((K - 1) if (first and fid == start_frame_id)
-                           else K, n - j0)
-                for j in range(j0, j0 + size):
-                    fid += 1
-                    rec.pose_rows.append([fid, kf_id,
-                                          *outs.pose_wrt_world[j]])
-                    rec.odometry_rows.append([fid, kf_id,
-                                              *outs.pose_wrt_kf[j]])
+        rows = np.nonzero(v.reshape(-1))[0]    # row index of every frame
+        for r in rows:
+            fid += 1
+            rec.pose_rows.append([fid, kf_id, *outs.pose_wrt_world[r]])
+            rec.odometry_rows.append([fid, kf_id, *outs.pose_wrt_kf[r]])
+            if (fid - start_frame_id + lead) % K == 0:
                 kf_id = fid
-                j0 += size
         return state, rec
 
     b = 0
     while b < len(frames):
         size = (K - 1) if (first and b == 0) else K
         t0 = _time.perf_counter()
-        chunk = jnp.asarray(np.stack(frames[b:b + size]))
-        rots = None
+        imgs, v = _masked_interval_inputs(frames[b:b + size], K - size)
+        rots = np.zeros((K, 6), np.float32)
         if init_rotations is not None:
-            rots = jnp.asarray(init_rotations[b:b + size])
+            rots[K - size:] = init_rotations[b:b + size]
         state, outs, snapshot = pipeline.process_interval(
-            state, chunk, cfg, replay=replay, init_rotations=rots)
+            state, jnp.asarray(imgs), cfg, replay=replay,
+            init_rotations=jnp.asarray(rots) if init_rotations is not None
+            else None,
+            valid=jnp.asarray(v), kf_valid=jnp.asarray(True))
         outs = jax.tree.map(np.asarray, outs)
         t0 = _mark("interval", t0)
-        if closer is not None and snapshot is not None:
+        if snapshot is not None:
             # one jitted dispatch; an eager compose is a ~50-op chain of
             # synchronous tunnel round-trips (~1-2 s per interval)
             world_global = _compose_batch(
@@ -208,13 +201,37 @@ def _track_batch(state: pipeline.PipelineState,
                 rec.loop_rows.append([e.frame_id, e.matched_kf_id,
                                       *e.pose_wrt_matched])
             t0 = _mark("window", t0)
-        for j in range(size):
+        for j in range(K - size, K):
             fid += 1
             rec.pose_rows.append([fid, kf_id, *outs.pose_wrt_world[j]])
             rec.odometry_rows.append([fid, kf_id, *outs.pose_wrt_kf[j]])
         kf_id = fid
         b += size
     return state, rec
+
+
+def _track_tail(state: pipeline.PipelineState, frames: List[np.ndarray],
+                frame_id0: int, base_world: np.ndarray, cfg: ELLCConfig
+                ) -> List[Tuple[int, np.ndarray]]:
+    """Track r < K end-of-stream frames in ONE masked interval dispatch
+    (kf_valid=False: plain track+refine on each, no keyframe swap) and
+    return their (frame_id, corrected world pose) rows.  Reuses the LC
+    track program — a per-frame eager loop would compile an extra
+    standalone step program and pay a dispatch+sync per frame."""
+    K = cfg.keyframe_interval
+    r = len(frames)
+    assert 0 < r < K, r
+    H, W = frames[0].shape
+    imgs = np.zeros((K, H, W), np.float32)
+    imgs[:r] = np.stack(frames)
+    v = np.zeros(K, bool)
+    v[:r] = True
+    _, outs, _ = pipeline.process_interval(
+        state, jnp.asarray(imgs), cfg, valid=jnp.asarray(v),
+        kf_valid=jnp.asarray(False))
+    world = np.asarray(_compose_batch(outs.pose_wrt_world[:r],
+                                      jnp.asarray(base_world)))
+    return [(frame_id0 + 1 + i, world[i]) for i in range(r)]
 
 
 def _rotation_average_batch(rec: BatchRecord, cfg: ELLCConfig
@@ -292,17 +309,15 @@ def run_ellc_lc(frames: Iterable[np.ndarray], cfg: ELLCConfig,
         extra_frames = buf[usable:]
         buf = buf[:usable]
         if usable == 0:
-            # stream ended with less than one interval: per-frame tail
-            # tracking below, no batch / RA
+            # stream ended with less than one interval: one masked tail
+            # dispatch (kf_valid=False — tail frames never become
+            # keyframes, PARITY.md), no batch / RA
             done = True
-            for img in extra_frames:
-                frame_id += 1
-                state, o = pipeline.track_refine_step(
-                    state, jnp.asarray(img), cfg)
-                w = np.asarray(_compose_batch(
-                    o.pose_wrt_world[None], jnp.asarray(base_world))[0])
-                raw.append((frame_id, w))
-                corrected.append((frame_id, w))
+            for fid_w in _track_tail(state, extra_frames, frame_id,
+                                     base_world, cfg):
+                raw.append(fid_w)
+                corrected.append(fid_w)
+            frame_id += len(extra_frames)
             break
 
         start_id = frame_id
@@ -375,21 +390,17 @@ def run_ellc_lc(frames: Iterable[np.ndarray], cfg: ELLCConfig,
 
         batch_no += 1
         if len(extra_frames):
-            # end-of-stream frames that don't fill an interval: track
-            # them per frame against the final keyframe (no new KF, no
-            # RA — the reference's last partial batch also ends un-
-            # averaged when the stream stops, main.cpp:199-505) so every
-            # input frame gets a pose line
+            # end-of-stream frames that don't fill an interval: one
+            # masked tail dispatch against the final keyframe (no new
+            # KF, no RA — the reference's last partial batch also ends
+            # un-averaged when the stream stops, main.cpp:199-505) so
+            # every input frame gets a pose line
             done = True
-            tail_base = base_world
-            for img in extra_frames:
-                frame_id += 1
-                state, o = pipeline.track_refine_step(
-                    state, jnp.asarray(img), cfg)
-                w = np.asarray(_compose_batch(
-                    o.pose_wrt_world[None], jnp.asarray(tail_base))[0])
-                raw.append((frame_id, w))
-                corrected.append((frame_id, w))
+            for fid_w in _track_tail(state, extra_frames, frame_id,
+                                     base_world, cfg):
+                raw.append(fid_w)
+                corrected.append(fid_w)
+            frame_id += len(extra_frames)
 
     if out_dir:
         with ellc_io.PoseWriter(os.path.join(out_dir, "poses_corrected.txt")) \

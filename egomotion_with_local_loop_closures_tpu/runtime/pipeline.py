@@ -279,7 +279,9 @@ def keyframe_step(state: PipelineState, image: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("cfg", "replay"))
 def process_interval(state: PipelineState, images: jnp.ndarray,
                      cfg: ELLCConfig, replay: bool = False,
-                     init_rotations: Optional[jnp.ndarray] = None
+                     init_rotations: Optional[jnp.ndarray] = None,
+                     valid: Optional[jnp.ndarray] = None,
+                     kf_valid: Optional[jnp.ndarray] = None
                      ) -> Tuple[PipelineState, FrameOutput]:
     """One full keyframe interval in a single XLA computation: scan
     track+refine over the first K-1 frames, then the keyframe step on the
@@ -287,25 +289,73 @@ def process_interval(state: PipelineState, images: jnp.ndarray,
     ``init_rotations`` (K, 6), if given, provides per-frame world-pose
     initializations whose rotation seeds the tracker (the RA-replay path,
     FLAG_INITIALIZE_NONZERO_POSE, ImageFunc.cpp:109-138).
-    """
+
+    ``valid`` (K,) bool + ``kf_valid`` scalar bool, when given, make this
+    ONE compiled program serve every interval shape LC mode encounters —
+    dummy-masked frames are skipped via lax.cond (state passes through,
+    outputs are zeros the host drops):
+
+    - bootstrap's odd K-1 first interval  -> valid=[F, T...T], kf_valid=T
+    - end-of-stream tails (r < K frames)  -> valid=[T×r, F...],  kf_valid=F
+      (the last real frame runs the plain track+refine step, no keyframe
+      swap — tail frames never become keyframes, PARITY.md)
+    - whole dummy intervals (chunk pad)   -> valid=all F, kf_valid=F
+
+    Each distinct (replay, has-rotations, has-mask) combination is its
+    own jit variant; LC mode uses exactly two (track: mask, no rots;
+    replay: mask + rots), which is what keeps its warmup bounded."""
+    has_mask = valid is not None
+    if kf_valid is None:
+        kf_valid = jnp.asarray(True)
+
+    def step(st, img, rot, v):
+        def live(st):
+            return track_refine_step(st, img, cfg, replay,
+                                     init_rotation=rot)
+        def dead(st):
+            return st, jax.tree.map(
+                jnp.zeros_like, jax.eval_shape(live, st)[1])
+        if not has_mask:
+            return live(st)
+        return jax.lax.cond(v, live, dead, st)
+
     if init_rotations is None:
-        def body(st, img):
-            st, out = track_refine_step(st, img, cfg, replay)
+        def body(st, xs):
+            img, v = xs
+            st, out = step(st, img, None, v)
             return st, out
-        state, outs = jax.lax.scan(body, state, images[:-1])
-        state, kf_out, snapshot = keyframe_step(state, images[-1], cfg,
-                                                replay)
+        vs = valid[:-1] if has_mask else jnp.ones(images.shape[0] - 1, bool)
+        state, outs = jax.lax.scan(body, state, (images[:-1], vs))
+        rot_last = None
     else:
         def body(st, xs):
-            img, rot = xs
-            st, out = track_refine_step(st, img, cfg, replay,
-                                        init_rotation=rot)
+            img, rot, v = xs
+            st, out = step(st, img, rot, v)
             return st, out
+        vs = valid[:-1] if has_mask else jnp.ones(images.shape[0] - 1, bool)
         state, outs = jax.lax.scan(
-            body, state, (images[:-1], init_rotations[:-1]))
-        state, kf_out, snapshot = keyframe_step(
-            state, images[-1], cfg, replay,
-            init_rotation=init_rotations[-1])
+            body, state, (images[:-1], init_rotations[:-1], vs))
+        rot_last = init_rotations[-1]
+
+    if not has_mask:
+        state, kf_out, snapshot = keyframe_step(state, images[-1], cfg,
+                                                replay,
+                                                init_rotation=rot_last)
+    else:
+        def kf_branch(st):
+            return keyframe_step(st, images[-1], cfg, replay,
+                                 init_rotation=rot_last)
+
+        def track_branch(st):
+            # last frame is a real tail frame (valid) or dummy, but not a
+            # keyframe: plain track+refine, snapshot shape filled with the
+            # (unconsumed) current-state snapshot
+            st2, out = step(st, images[-1], rot_last, valid[-1])
+            snap = (finalize_snapshot(st2) if _needs_window(cfg) else None)
+            return st2, out, snap
+
+        state, kf_out, snapshot = jax.lax.cond(kf_valid, kf_branch,
+                                               track_branch, state)
     all_outs = jax.tree.map(
         lambda a, b: jnp.concatenate([a, b[None]], axis=0), outs, kf_out)
     return state, all_outs, snapshot
@@ -314,7 +364,9 @@ def process_interval(state: PipelineState, images: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("cfg", "replay"))
 def process_intervals(state: PipelineState, images: jnp.ndarray,
                       cfg: ELLCConfig, replay: bool = False,
-                      init_rotations: Optional[jnp.ndarray] = None
+                      init_rotations: Optional[jnp.ndarray] = None,
+                      valid: Optional[jnp.ndarray] = None,
+                      kf_valid: Optional[jnp.ndarray] = None
                       ) -> Tuple[PipelineState, FrameOutput]:
     """Scan N whole keyframe intervals in ONE XLA dispatch.
 
@@ -330,18 +382,40 @@ def process_intervals(state: PipelineState, images: jnp.ndarray,
     feed is needed between intervals) batches its whole batch replay
     into this one dispatch.
     """
-    def body(st, xs):
-        imgs, rots = xs
-        st, outs, snapshot = process_interval(st, imgs, cfg, replay,
-                                              init_rotations=rots)
-        return st, (outs, snapshot)
+    if valid is None:
+        if init_rotations is None:
+            def body_plain(st, imgs):
+                st, outs, snapshot = process_interval(st, imgs, cfg, replay)
+                return st, (outs, snapshot)
+            state, (outs, snapshots) = jax.lax.scan(body_plain, state,
+                                                    images)
+        else:
+            def body(st, xs):
+                imgs, rots = xs
+                st, outs, snapshot = process_interval(st, imgs, cfg, replay,
+                                                      init_rotations=rots)
+                return st, (outs, snapshot)
+            state, (outs, snapshots) = jax.lax.scan(
+                body, state, (images, init_rotations))
+        return state, outs, snapshots
 
+    # masked variant: ONE compiled program per (replay, has-rots) combo
+    # covers every chunk LC mode dispatches (see process_interval)
     if init_rotations is None:
-        def body_plain(st, imgs):
-            st, outs, snapshot = process_interval(st, imgs, cfg, replay)
+        def body_m(st, xs):
+            imgs, v, kv = xs
+            st, outs, snapshot = process_interval(st, imgs, cfg, replay,
+                                                  valid=v, kf_valid=kv)
             return st, (outs, snapshot)
-        state, (outs, snapshots) = jax.lax.scan(body_plain, state, images)
-    else:
         state, (outs, snapshots) = jax.lax.scan(
-            body, state, (images, init_rotations))
+            body_m, state, (images, valid, kf_valid))
+    else:
+        def body_mr(st, xs):
+            imgs, rots, v, kv = xs
+            st, outs, snapshot = process_interval(st, imgs, cfg, replay,
+                                                  init_rotations=rots,
+                                                  valid=v, kf_valid=kv)
+            return st, (outs, snapshot)
+        state, (outs, snapshots) = jax.lax.scan(
+            body_mr, state, (images, init_rotations, valid, kf_valid))
     return state, outs, snapshots

@@ -169,3 +169,80 @@ def test_global_scale_accumulates():
     s1, _, _ = pipeline.process_interval(s0, jnp.stack(imgs[1:9]), CFG)
     assert abs(float(s1.global_scale) - 1.0) < 0.3
     assert float(s1.kf.rescale) != 1.0
+
+
+def test_masked_interval_matches_unmasked():
+    """The masked single-program interval (all-valid, kf_valid=True) must
+    be numerically identical to the unmasked variant, and the masked
+    bootstrap interval (leading dummy frame) must match tracking the K-1
+    real frames directly (process_interval docstring, LC warmup design)."""
+    K = CFG.keyframe_interval
+    imgs, _ = _make_sequence(K + 1)
+    state0 = pipeline.init_pipeline(imgs[0], jax.random.PRNGKey(0), CFG)
+
+    chunk = jnp.stack(imgs[1:1 + K])
+    s_ref, o_ref, _ = pipeline.process_interval(state0, chunk, CFG)
+    s_m, o_m, _ = pipeline.process_interval(
+        state0, chunk, CFG, valid=jnp.ones(K, bool),
+        kf_valid=jnp.asarray(True))
+    # the masked program is a DIFFERENT XLA program (lax.cond wrappers
+    # change fusion); bitwise equality is not guaranteed — what must hold
+    # is semantic equality: poses within float-noise, states matching on
+    # virtually all elements (discrete stereo decisions may flip on a
+    # handful of knife-edge pixels under ~1e-5 pose noise)
+    np.testing.assert_allclose(np.asarray(o_ref.pose_wrt_world),
+                               np.asarray(o_m.pose_wrt_world), atol=1e-3)
+    for a, b in zip(jax.tree.leaves(s_ref), jax.tree.leaves(s_m)):
+        a, b = np.asarray(a), np.asarray(b)
+        close = np.isclose(a, b, atol=1e-2, rtol=1e-2)
+        assert close.mean() > 0.99, (a.shape, close.mean())
+
+    # bootstrap shape: K-1 real frames with one leading dummy
+    real = imgs[1:K]                      # K-1 frames
+    padded = jnp.concatenate([jnp.zeros_like(chunk[:1]),
+                              jnp.stack(real)], axis=0)
+    v = jnp.asarray([False] + [True] * (K - 1))
+    s_b, o_b, _ = pipeline.process_interval(state0, padded, CFG, valid=v,
+                                            kf_valid=jnp.asarray(True))
+    # reference: per-frame steps + keyframe step
+    st = state0
+    outs = []
+    for im in real[:-1]:
+        st, o = pipeline.track_refine_step(st, im, CFG)
+        outs.append(o)
+    st, o_kf, _ = pipeline.keyframe_step(st, real[-1], CFG)
+    np.testing.assert_allclose(np.asarray(o_b.pose_wrt_world[-1]),
+                               np.asarray(o_kf.pose_wrt_world), atol=1e-3)
+    for j, o in enumerate(outs):
+        np.testing.assert_allclose(np.asarray(o_b.pose_wrt_world[1 + j]),
+                                   np.asarray(o.pose_wrt_world), atol=1e-3)
+    # dummy slot 0 output is zeros; state matches the per-frame chain
+    assert float(jnp.abs(o_b.pose_wrt_world[0]).max()) == 0.0
+    for a, b in zip(jax.tree.leaves(s_b), jax.tree.leaves(st)):
+        a, b = np.asarray(a), np.asarray(b)
+        close = np.isclose(a, b, atol=1e-2, rtol=1e-2)
+        assert close.mean() > 0.99, (a.shape, close.mean())
+
+
+def test_masked_tail_matches_per_frame_tracking():
+    """kf_valid=False with r < K valid frames = plain track+refine on
+    each real frame, no keyframe swap (the LC tail path)."""
+    K = CFG.keyframe_interval
+    r = 3
+    imgs, _ = _make_sequence(1 + r)
+    state0 = pipeline.init_pipeline(imgs[0], jax.random.PRNGKey(0), CFG)
+    padded = jnp.concatenate(
+        [jnp.stack(imgs[1:1 + r]),
+         jnp.zeros((K - r, CFG.rows, CFG.cols), jnp.float32)], axis=0)
+    v = jnp.asarray([True] * r + [False] * (K - r))
+    s_t, o_t, _ = pipeline.process_interval(state0, padded, CFG, valid=v,
+                                            kf_valid=jnp.asarray(False))
+    st = state0
+    for j, im in enumerate(imgs[1:1 + r]):
+        st, o = pipeline.track_refine_step(st, im, CFG)
+        np.testing.assert_allclose(np.asarray(o_t.pose_wrt_world[j]),
+                                   np.asarray(o.pose_wrt_world), atol=1e-3)
+    for a, b in zip(jax.tree.leaves(s_t), jax.tree.leaves(st)):
+        a, b = np.asarray(a), np.asarray(b)
+        close = np.isclose(a, b, atol=1e-2, rtol=1e-2)
+        assert close.mean() > 0.99, (a.shape, close.mean())
