@@ -60,6 +60,13 @@ class ELLCConfig:
     use_window_warp: bool = True
     warp_window: Tuple[int, int, int, int] = (3, 3, 4, 8)
     warp_window_rematch: Tuple[int, int, int, int] = (6, 6, 8, 16)
+    # when more than this fraction of valid template pixels is censored
+    # by the window (high-parallax motion), the linearization redoes its
+    # three samples with the exact gather warp via lax.cond — normal
+    # frames keep the pure-VPU window cost, extreme frames trade ~5 ms
+    # for not starving the GN (alignment._gn_quantities; round-5 revisit
+    # battery: survival 63 -> 420 frames)
+    warp_oow_fallback: float = 0.05
 
     # --- depth-map random init (EV:81-88) -------------------------------
     min_abs_grad_create: float = 1.0     # EV:81

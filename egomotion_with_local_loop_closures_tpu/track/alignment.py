@@ -122,13 +122,32 @@ def _gn_quantities(kf: KeyframeLevel, cur: CurrentLevel, pose: jnp.ndarray,
     else:
         sampler = interp.make_window_sampler(
             wx, wy, window, Hh, Ww, valid=mask)
-        warped = interp.window_sample(sampler, cur.image)
-        gradx = interp.window_sample(sampler, cur.gradx)
-        grady = interp.window_sample(sampler, cur.grady)
-        in_bounds = sampler.in_bounds & sampler.in_window
         censored = mask & sampler.in_bounds & ~sampler.in_window
         oow = jnp.sum(censored.astype(jnp.float32)) / jnp.maximum(
             jnp.sum(mask.astype(jnp.float32)), 1.0)
+
+        def _window_path(_):
+            return (interp.window_sample(sampler, cur.image),
+                    interp.window_sample(sampler, cur.gradx),
+                    interp.window_sample(sampler, cur.grady),
+                    sampler.in_bounds & sampler.in_window)
+
+        def _gather_path(_):
+            w, ib = interp.bilinear(cur.image, wx, wy)
+            return (w, interp.bilinear_fill(cur.gradx, wx, wy),
+                    interp.bilinear_fill(cur.grady, wx, wy), ib)
+
+        # high-parallax fallback: when the displacement field spreads
+        # beyond the window for more than warp_oow_fallback of the valid
+        # template, redo the three samples with the exact gather warp —
+        # the window sampler's censoring otherwise starves the GN of
+        # pixels and kills tracking on large-motion revisit trajectories
+        # (measured round 5: revisit scene survives 420 frames with the
+        # gather warp vs 63 with pure window censoring).  lax.cond skips
+        # the untaken path at runtime, so ordinary frames keep the pure
+        # VPU cost and only extreme frames pay the ~5 ms gather.
+        warped, gradx, grady, in_bounds = jax.lax.cond(
+            oow > cfg.warp_oow_fallback, _gather_path, _window_path, None)
 
     # steepest descent rows (PixelWisePyramid.cpp:296-320), evaluated at
     # the template pixel (u, v) = (x-cx, y-cy) and template depth d

@@ -133,3 +133,28 @@ def test_depth_var_pyramid_fusion():
     # all-invalid cell
     d2, v2 = fusion.fuse_level(jnp.zeros((2, 2)), jnp.full((2, 2), -1.0))
     assert float(d2[0, 0]) == 0.0 and float(v2[0, 0]) == -1.0
+
+
+def test_window_warp_gather_fallback_on_high_parallax():
+    """When the displacement field spreads beyond the shift-and-blend
+    window (oow_fraction > cfg.warp_oow_fallback), the linearization must
+    fall back to the exact gather warp inside the same program
+    (alignment._gn_quantities lax.cond) — censoring otherwise starves
+    the GN on large-motion revisit trajectories (round-5 battery)."""
+    cfg = CFG
+    # a large in-plane rotation: the flow field varies across the image
+    # (magnitude ~ omega * radius, direction tangential), so no global
+    # integer shift can absorb it and the window censors heavily
+    pose_big = jnp.asarray([0.0, 0.0, 0.25, 0.0, 0.0, 0.0], jnp.float32)
+    kf, cur = _render_pair(pose_big)
+    intr = cfg.level_intrinsics(0)
+    H_w, g_w, e_w, valid_w, oow = alignment._gn_quantities(
+        kf[0], cur[0], pose_big, intr, cfg, window=cfg.warp_window[0])
+    assert float(oow) > cfg.warp_oow_fallback, float(oow)
+    # with the fallback the window path must agree with the pure gather
+    # path (same samples)
+    H_g, g_g, e_g, valid_g, _ = alignment._gn_quantities(
+        kf[0], cur[0], pose_big, intr, cfg, window=None)
+    np.testing.assert_allclose(np.asarray(H_w), np.asarray(H_g),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(valid_w), np.asarray(valid_g))

@@ -43,8 +43,17 @@ def _prepare_combo(scene: str, seed: int, frames: int, root: str,
     with the single TPU chip.  Returns the reference run dir."""
     tag = f"{scene}_s{seed}"
     run_dir = os.path.join(root, tag)
+    # a fully-prepared (possibly symlinked, e.g. base_s0 -> the original
+    # 520-frame parity run) _gn dir short-circuits the whole combo
+    if (skip_existing
+            and os.path.exists(os.path.join(run_dir + "_gn", "outputs",
+                                            "poses_orig.txt"))
+            and os.path.exists(os.path.join(run_dir + "_gn",
+                                            "frames_480x270.npz"))):
+        return run_dir + "_gn"
     npz = os.path.join(run_dir, "frames_480x270.npz")
-    env = dict(os.environ, ELLC_PLATFORM="cpu")
+    env = dict(os.environ)
+    env.setdefault("ELLC_PLATFORM", "cpu")
     if not (skip_existing and os.path.exists(npz)):
         subprocess.run([sys.executable, "tools/make_reference_input.py",
                         "--frames", str(frames), "--out", run_dir,
@@ -63,6 +72,10 @@ def summarize(rows: list[dict]) -> str:
              "p95 / max (deg) | ATE | seeds% ref / ours |",
              "|---|---|---|---|---|---|---|"]
     for r in rows:
+        if "error" in r:
+            lines.append(f"| {r['scene']} | {r['seed']} | "
+                         f"ERROR: {r['error']} |||||")
+            continue
         rpe = r.get("rpe_rot_8f", {})
         lines.append(
             f"| {r['scene']} | {r['seed']} | "
@@ -117,7 +130,10 @@ def main() -> int:
     for scene, seed in combos:
         run_dir = os.path.join(args.root, f"{scene}_s{seed}_gn")
         t0 = time.time()
-        res = evaluate(run_dir, glibc_init=args.glibc_init)
+        try:
+            res = evaluate(run_dir, glibc_init=args.glibc_init)
+        except Exception as e:                      # keep the sweep going
+            res = {"error": f"{type(e).__name__}: {e}"}
         res["scene"] = scene
         res["seed"] = seed
         res["eval_s"] = round(time.time() - t0, 1)

@@ -116,6 +116,17 @@ def evaluate(input_dir: str, max_frames: int | None = None, seed: int = 0,
     common = sorted(set(ref["frame_id"].tolist())
                     & set(res.frame_ids.tolist()))
     common = [i for i in common if i <= last_good]
+    if len(common) < 3:
+        # one (or both) system dies immediately on this input — survival
+        # itself is the parity datum; there is no window to score
+        return {"frames_compared": len(common),
+                "reference_tracks_until": ref_last,
+                "ours_tracks_until": ours_last,
+                "compared_until": last_good,
+                "rotation_vs_reference": {},
+                "ate_sim3_aligned": float("nan"),
+                "seeds_reference_mean": float(np.nanmean(ref["seeds"])),
+                "seeds_ours_mean": float(np.mean(res.seeds))}
     ri = {f: k for k, f in enumerate(ref["frame_id"])}
     oi = {f: k for k, f in enumerate(res.frame_ids)}
     idx_r = np.asarray([ri[f] for f in common])
