@@ -152,7 +152,7 @@ def _track_batch(state: pipeline.PipelineState,
             rots.reshape(-1, 6)[lead:lead + len(frames)] = init_rotations
         blocks = []
         for c in range(n_chunks):
-            state, outs, _ = pipeline.process_intervals(
+            state, outs, _ = pipeline.process_intervals_with_fallback(
                 state, jnp.asarray(imgs[c * CH:(c + 1) * CH]), cfg,
                 replay=replay,
                 init_rotations=jnp.asarray(rots[c * CH:(c + 1) * CH]),
@@ -180,7 +180,7 @@ def _track_batch(state: pipeline.PipelineState,
         rots = np.zeros((K, 6), np.float32)
         if init_rotations is not None:
             rots[K - size:] = init_rotations[b:b + size]
-        state, outs, snapshot = pipeline.process_interval(
+        state, outs, snapshot = pipeline.process_interval_with_fallback(
             state, jnp.asarray(imgs), cfg, replay=replay,
             init_rotations=jnp.asarray(rots) if init_rotations is not None
             else None,
@@ -226,7 +226,7 @@ def _track_tail(state: pipeline.PipelineState, frames: List[np.ndarray],
     imgs[:r] = np.stack(frames)
     v = np.zeros(K, bool)
     v[:r] = True
-    _, outs, _ = pipeline.process_interval(
+    _, outs, _ = pipeline.process_interval_with_fallback(
         state, jnp.asarray(imgs), cfg, valid=jnp.asarray(v),
         kf_valid=jnp.asarray(False))
     world = np.asarray(_compose_batch(outs.pose_wrt_world[:r],

@@ -77,6 +77,10 @@ class FrameOutput(NamedTuple):
     seeds: jnp.ndarray            # depth occupancy %
     weighted_pose: jnp.ndarray
     valid_fraction: jnp.ndarray
+    # censored-by-window fraction of the finest level (AlignDiagnostics.
+    # oow_fraction); drivers redispatch the interval with the gather-warp
+    # program when it exceeds cfg.warp_oow_fallback (host-side fallback)
+    oow_fraction: jnp.ndarray
 
 
 
@@ -205,7 +209,8 @@ def _frame_output(state: PipelineState, pose: jnp.ndarray, diag
                        rescale=state.kf.rescale,
                        seeds=dstate.seeds_percent(state.depth),
                        weighted_pose=diag.weighted_pose,
-                       valid_fraction=diag.valid_fraction)
+                       valid_fraction=diag.valid_fraction,
+                       oow_fraction=diag.oow_fraction)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "replay"))
@@ -272,7 +277,8 @@ def keyframe_step(state: PipelineState, image: jnp.ndarray,
                       rescale=kf_old.rescale,
                       seeds=dstate.seeds_percent(st),
                       weighted_pose=diag.weighted_pose,
-                      valid_fraction=diag.valid_fraction)
+                      valid_fraction=diag.valid_fraction,
+                      oow_fraction=diag.oow_fraction)
     return new_state, out, snapshot
 
 
@@ -419,3 +425,64 @@ def process_intervals(state: PipelineState, images: jnp.ndarray,
         state, (outs, snapshots) = jax.lax.scan(
             body_mr, state, (images, init_rotations, valid, kf_valid))
     return state, outs, snapshots
+
+
+def _needs_gather_redo(outs: FrameOutput, cfg: ELLCConfig) -> bool:
+    """Host check: did any frame of the dispatched block exceed the
+    window-censoring threshold?  Reads oow_fraction (a sync the drivers
+    pay anyway when they materialize the block's outputs)."""
+    import numpy as np
+    return bool(np.max(np.asarray(outs.oow_fraction))
+                > cfg.warp_oow_fallback)
+
+
+def process_interval_with_fallback(state: PipelineState,
+                                   images: jnp.ndarray, cfg: ELLCConfig,
+                                   replay: bool = False,
+                                   init_rotations=None, valid=None,
+                                   kf_valid=None):
+    """process_interval + the HOST-side high-parallax fallback.
+
+    The shift-and-blend window warp censors pixels whose displacement
+    spreads beyond the window; on large-motion revisit trajectories the
+    censoring starves the GN and kills tracking (round-5 battery:
+    survival 63 vs the reference's 419 frames).  Any in-jit ``lax.cond``
+    fallback measured 3-4x slower END TO END (control flow in the hot
+    scan breaks XLA fusion — both per-iteration and per-frame variants,
+    BASELINE.md round 5), so the decision lives here: run the fast
+    window program, read the per-frame censored fraction, and when any
+    frame exceeds ``cfg.warp_oow_fallback`` redispatch the SAME interval
+    from the SAME input state with the gather-warp program
+    (``use_window_warp=False`` — a separate jit variant, lazily compiled
+    the first time a sequence actually needs it).  Ordinary sequences
+    never pay anything; extreme intervals cost one extra dispatch."""
+    out = process_interval(state, images, cfg, replay,
+                           init_rotations=init_rotations, valid=valid,
+                           kf_valid=kf_valid)
+    if not cfg.use_window_warp or cfg.warp_oow_fallback >= 1.0:
+        return out
+    if not _needs_gather_redo(out[1], cfg):
+        return out
+    return process_interval(state, images, cfg.replace(use_window_warp=False),
+                            replay, init_rotations=init_rotations,
+                            valid=valid, kf_valid=kf_valid)
+
+
+def process_intervals_with_fallback(state: PipelineState,
+                                    images: jnp.ndarray, cfg: ELLCConfig,
+                                    replay: bool = False,
+                                    init_rotations=None, valid=None,
+                                    kf_valid=None):
+    """Chunked variant of process_interval_with_fallback: the redo
+    granularity is the whole chunk (rare; see that docstring)."""
+    out = process_intervals(state, images, cfg, replay,
+                            init_rotations=init_rotations, valid=valid,
+                            kf_valid=kf_valid)
+    if not cfg.use_window_warp or cfg.warp_oow_fallback >= 1.0:
+        return out
+    if not _needs_gather_redo(out[1], cfg):
+        return out
+    return process_intervals(state, images,
+                             cfg.replace(use_window_warp=False), replay,
+                             init_rotations=init_rotations, valid=valid,
+                             kf_valid=kf_valid)

@@ -165,7 +165,7 @@ def run_sequence(frames: Iterable[np.ndarray], cfg: ELLCConfig,
         if n_full == 1:
             # one interval (the only dispatch shape when the loop window
             # is active, and always for the K-1-frame first interval)
-            state, outs, snapshot = pipeline.process_interval(
+            state, outs, snapshot = pipeline.process_interval_with_fallback(
                 state, jnp.asarray(np.stack(buf[:full_upto])), cfg)
             outs = jax.tree.map(np.asarray, outs)
             if closer is not None and snapshot is not None:
@@ -187,7 +187,8 @@ def run_sequence(frames: Iterable[np.ndarray], cfg: ELLCConfig,
         elif n_full > 1:
             stacked = jnp.asarray(np.stack(buf[:n_full * K])).reshape(
                 n_full, K, *buf[0].shape)
-            state, outs, _ = pipeline.process_intervals(state, stacked, cfg)
+            state, outs, _ = pipeline.process_intervals_with_fallback(
+                state, stacked, cfg)
             outs = jax.tree.map(
                 lambda a: np.asarray(a).reshape(n_full * K, *a.shape[2:]),
                 outs)

@@ -122,32 +122,13 @@ def _gn_quantities(kf: KeyframeLevel, cur: CurrentLevel, pose: jnp.ndarray,
     else:
         sampler = interp.make_window_sampler(
             wx, wy, window, Hh, Ww, valid=mask)
+        warped = interp.window_sample(sampler, cur.image)
+        gradx = interp.window_sample(sampler, cur.gradx)
+        grady = interp.window_sample(sampler, cur.grady)
+        in_bounds = sampler.in_bounds & sampler.in_window
         censored = mask & sampler.in_bounds & ~sampler.in_window
         oow = jnp.sum(censored.astype(jnp.float32)) / jnp.maximum(
             jnp.sum(mask.astype(jnp.float32)), 1.0)
-
-        def _window_path(_):
-            return (interp.window_sample(sampler, cur.image),
-                    interp.window_sample(sampler, cur.gradx),
-                    interp.window_sample(sampler, cur.grady),
-                    sampler.in_bounds & sampler.in_window)
-
-        def _gather_path(_):
-            w, ib = interp.bilinear(cur.image, wx, wy)
-            return (w, interp.bilinear_fill(cur.gradx, wx, wy),
-                    interp.bilinear_fill(cur.grady, wx, wy), ib)
-
-        # high-parallax fallback: when the displacement field spreads
-        # beyond the window for more than warp_oow_fallback of the valid
-        # template, redo the three samples with the exact gather warp —
-        # the window sampler's censoring otherwise starves the GN of
-        # pixels and kills tracking on large-motion revisit trajectories
-        # (measured round 5: revisit scene survives 420 frames with the
-        # gather warp vs 63 with pure window censoring).  lax.cond skips
-        # the untaken path at runtime, so ordinary frames keep the pure
-        # VPU cost and only extreme frames pay the ~5 ms gather.
-        warped, gradx, grady, in_bounds = jax.lax.cond(
-            oow > cfg.warp_oow_fallback, _gather_path, _window_path, None)
 
     # steepest descent rows (PixelWisePyramid.cpp:296-320), evaluated at
     # the template pixel (u, v) = (x-cx, y-cy) and template depth d
@@ -331,7 +312,8 @@ def align_const_weight(kf_levels: Tuple[KeyframeLevel, ...],
 
 
 def gn_level(kf: KeyframeLevel, cur: CurrentLevel, pose0: jnp.ndarray,
-             level: int, cfg: ELLCConfig, num_iters: int):
+             level: int, cfg: ELLCConfig, num_iters: int,
+             use_window: bool = True):
     """Run ``num_iters`` GN updates at one level with the reference's
     early-out-as-freeze-mask.  Returns (pose, weighted_pose, iters_used,
     stats) where stats = (energy, valid_count, oow) from the last LIVE
@@ -347,7 +329,8 @@ def gn_level(kf: KeyframeLevel, cur: CurrentLevel, pose0: jnp.ndarray,
     so this is never a pessimization."""
     intr = cfg.level_intrinsics(level)
     term_w = jnp.asarray(cfg.termination_weights, dtype=pose0.dtype)
-    window = cfg.warp_window[level] if cfg.use_window_warp else None
+    window = (cfg.warp_window[level]
+              if (cfg.use_window_warp and use_window) else None)
 
     def live(pose, done, wp_last, iters, stats):
         Hmat, g, energy, valid, oow = _gn_quantities(kf, cur, pose, intr,
@@ -368,12 +351,21 @@ def gn_level(kf: KeyframeLevel, cur: CurrentLevel, pose0: jnp.ndarray,
                 (energy, valid, oow))
 
     def body(carry, _):
+        # freeze-mask, NOT lax.cond: a per-iteration cond in this hot
+        # scan breaks XLA fusion and measured 4x slower end-to-end on
+        # TPU (67 -> 15.5 f/s driver bench, round 5) — far more than the
+        # linearization it skips ever saves.  Converged iterations pay
+        # the full dense pass and discard it via where(), exactly the
+        # round-4 formulation.
         pose, done, wp_last, iters, stats = carry
-        carry = jax.lax.cond(
-            done,
-            lambda p, d, w, i, s: (p, d, w, i, s),
-            live,
+        new_pose, new_done, wp, new_iters, new_stats = live(
             pose, done, wp_last, iters, stats)
+        carry = (jnp.where(done, pose, new_pose),
+                 done | new_done,
+                 jnp.where(done, wp_last, wp),
+                 jnp.where(done, iters, new_iters),
+                 jax.tree.map(lambda o, n: jnp.where(done, o, n),
+                              stats, new_stats))
         return carry, None
 
     f32 = pose0.dtype
@@ -403,7 +395,18 @@ def align(kf_levels: Tuple[KeyframeLevel, ...],
     its final update, one GN step stale.  The round-4 version spent a
     full extra level-0 linearization (~1.5 ms/frame) to evaluate them at
     the exact final pose; the statistics differ by <1% over ~10^5 pixels
-    and are purely observational (FrameOutput diagnostics)."""
+    and are purely observational (FrameOutput diagnostics).
+
+    High-parallax fallback lives at the HOST level, not here: any
+    in-jit ``lax.cond`` on the censoring fraction measured 3-4x slower
+    end-to-end (both the per-iteration and the per-frame variant, round
+    5 — control flow in the hot path breaks XLA fusion/pipelining).
+    Instead ``diag.oow_fraction`` is surfaced through FrameOutput and
+    the DRIVERS redispatch an interval whose censoring exceeds
+    ``cfg.warp_oow_fallback`` with the gather-warp program
+    (``use_window_warp=False`` — a separate, lazily-compiled jit
+    variant): zero cost on ordinary frames, one extra interval on
+    extreme ones (runtime/pipeline.process_interval_with_fallback)."""
     if max_iters is None:
         max_iters = cfg.max_iters
     pose = pose0

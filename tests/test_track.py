@@ -141,6 +141,8 @@ def test_window_warp_gather_fallback_on_high_parallax():
     fall back to the exact gather warp inside the same program
     (alignment._gn_quantities lax.cond) — censoring otherwise starves
     the GN on large-motion revisit trajectories (round-5 battery)."""
+    from egomotion_with_local_loop_closures_tpu.runtime import pipeline
+
     cfg = CFG
     # a large in-plane rotation: the flow field varies across the image
     # (magnitude ~ omega * radius, direction tangential), so no global
@@ -148,13 +150,33 @@ def test_window_warp_gather_fallback_on_high_parallax():
     pose_big = jnp.asarray([0.0, 0.0, 0.25, 0.0, 0.0, 0.0], jnp.float32)
     kf, cur = _render_pair(pose_big)
     intr = cfg.level_intrinsics(0)
-    H_w, g_w, e_w, valid_w, oow = alignment._gn_quantities(
-        kf[0], cur[0], pose_big, intr, cfg, window=cfg.warp_window[0])
+    # the window linearization at the true pose censors > the threshold
+    *_, oow = alignment._gn_quantities(kf[0], cur[0], pose_big, intr, cfg,
+                                       window=cfg.warp_window[0])
     assert float(oow) > cfg.warp_oow_fallback, float(oow)
-    # with the fallback the window path must agree with the pure gather
-    # path (same samples)
-    H_g, g_g, e_g, valid_g, _ = alignment._gn_quantities(
-        kf[0], cur[0], pose_big, intr, cfg, window=None)
-    np.testing.assert_allclose(np.asarray(H_w), np.asarray(H_g),
-                               rtol=1e-5, atol=1e-3)
-    np.testing.assert_allclose(np.asarray(valid_w), np.asarray(valid_g))
+    # oow_fraction is surfaced per frame, and the host-side wrapper
+    # redispatches the interval with the gather-warp program: its output
+    # must equal the pure-gather config's output on this interval
+    scene = synthetic.make_room_scene(seed=0)
+    fx, fy, cx, cy = cfg.level_intrinsics(0)
+    K = cfg.keyframe_interval
+    imgs = [synthetic.render(scene,
+                             jnp.asarray([0.0, 0.0, 0.09 * i, 0.0, 0.0, 0.0]),
+                             cfg.rows, cfg.cols, fx, fy, cx, cy)[0]
+            for i in range(K + 1)]
+    state0 = pipeline.init_pipeline(imgs[0], jax.random.PRNGKey(0), cfg)
+    chunk = jnp.stack(imgs[1:])
+    _, outs_w, _ = pipeline.process_interval(state0, chunk, cfg)
+    assert float(np.max(np.asarray(outs_w.oow_fraction))) \
+        > cfg.warp_oow_fallback
+    _, outs_fb, _ = pipeline.process_interval_with_fallback(state0, chunk,
+                                                            cfg)
+    _, outs_g, _ = pipeline.process_interval(
+        state0, chunk, cfg.replace(use_window_warp=False))
+    np.testing.assert_allclose(np.asarray(outs_fb.pose_wrt_world),
+                               np.asarray(outs_g.pose_wrt_world))
+    # and the gather redo tracks the fast rotation far better than the
+    # censored window pass
+    gt_last = jnp.asarray([0.0, 0.0, 0.09 * K, 0.0, 0.0, 0.0])
+    rot_fb, _ = _pose_err(jnp.asarray(outs_fb.pose_wrt_world[-1]), gt_last)
+    assert rot_fb < 1.0, rot_fb
