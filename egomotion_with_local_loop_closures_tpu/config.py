@@ -60,13 +60,19 @@ class ELLCConfig:
     use_window_warp: bool = True
     warp_window: Tuple[int, int, int, int] = (3, 3, 4, 8)
     warp_window_rematch: Tuple[int, int, int, int] = (6, 6, 8, 16)
-    # when more than this fraction of valid template pixels is censored
-    # by the window (high-parallax motion), the linearization redoes its
-    # three samples with the exact gather warp via lax.cond — normal
-    # frames keep the pure-VPU window cost, extreme frames trade ~5 ms
-    # for not starving the GN (alignment._gn_quantities; round-5 revisit
-    # battery: survival 63 -> 420 frames)
-    warp_oow_fallback: float = 0.05
+    # HOST-side high-parallax fallback (pipeline._needs_gather_redo /
+    # process_interval_with_fallback): when a frame has more than
+    # warp_oow_fallback of its valid template censored by the window
+    # AND fewer than warp_valid_floor of all pixels surviving into the
+    # GN, the driver redispatches the interval with the gather-warp jit
+    # variant.  Censoring alone is routine (36% of base-parity frames
+    # exceed 5% oow harmlessly); the AND with the valid floor targets
+    # actual starvation (round-5 revisit battery: survival 63 -> 420
+    # frames; fatal frames measured oow 0.5-0.86 with valid 0.01-0.05).
+    # Any in-jit lax.cond formulation of this fallback costs 3-4x
+    # END-TO-END (control flow in the hot scan breaks XLA fusion).
+    warp_oow_fallback: float = 0.25
+    warp_valid_floor: float = 0.10
 
     # --- depth-map random init (EV:81-88) -------------------------------
     min_abs_grad_create: float = 1.0     # EV:81

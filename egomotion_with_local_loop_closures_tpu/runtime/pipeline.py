@@ -428,12 +428,21 @@ def process_intervals(state: PipelineState, images: jnp.ndarray,
 
 
 def _needs_gather_redo(outs: FrameOutput, cfg: ELLCConfig) -> bool:
-    """Host check: did any frame of the dispatched block exceed the
-    window-censoring threshold?  Reads oow_fraction (a sync the drivers
-    pay anyway when they materialize the block's outputs)."""
+    """Host check: is any frame of the dispatched block STARVED by window
+    censoring?  Trigger = high censored fraction AND low surviving valid
+    fraction on the SAME frame.  Censoring alone is routine and harmless
+    (the base parity sequence spends 36% of frames above 5% oow with
+    healthy valid fractions and identical trajectories under either
+    warp, BASELINE.md round 4); what kills tracking on revisit
+    trajectories is censoring that leaves the GN with almost no pixels
+    (measured: fatal frames run oow 0.5-0.86 with valid 0.01-0.05).
+    Reads two small device scalars per frame — a sync the drivers pay
+    anyway when they materialize the block's outputs."""
     import numpy as np
-    return bool(np.max(np.asarray(outs.oow_fraction))
-                > cfg.warp_oow_fallback)
+    oow = np.asarray(outs.oow_fraction)
+    valid = np.asarray(outs.valid_fraction)
+    return bool(np.any((oow > cfg.warp_oow_fallback)
+                       & (valid < cfg.warp_valid_floor)))
 
 
 def process_interval_with_fallback(state: PipelineState,
